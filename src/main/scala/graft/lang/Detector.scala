@@ -1,0 +1,344 @@
+package graft.lang
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Detector configuration (reference: src/detector/builder.rs:17-107).
+  * Sizes are 0..4 = uni..five char-grams, 5 = wordgrams.
+  */
+final case class DetectorConfig(
+    languages: Set[Int],
+    longTextMinLen: Int,
+    shortSizes: Array[Int],
+    longSizes: Array[Int]
+) extends Serializable {
+  def withLanguages(codes: String*): DetectorConfig =
+    copy(languages = codes.map(ScriptLang.id).toSet)
+  /** Faster, lower accuracy (reference: src/detector/builder.rs:92-106). */
+  def maxTrigrams: DetectorConfig =
+    copy(shortSizes = Array(0, 1, 2, 5), longSizes = Array(2, 5))
+}
+
+object DetectorConfig {
+  /** Defaults: all languages; short = uni..five+word, long = tri..five+word;
+    * 120-char switch (reference: src/detector/mod.rs:51-79,
+    * src/detector/builder.rs:24).
+    */
+  val default: DetectorConfig = DetectorConfig(
+    languages = ScriptLang.all.map(_.id).toSet,
+    longTextMinLen = 120,
+    shortSizes = Array(0, 1, 2, 3, 4, 5),
+    longSizes = Array(2, 3, 4, 5)
+  )
+}
+
+/** Minimal primitive open-addressing Long set for per-size n-gram dedup
+  * (reference dedups each size's n-grams across the whole text via a
+  * seen-set: src/ngrams.rs:34-43).
+  */
+private[lang] final class LongSeenSet(initialCap: Int) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2)
+  private var keys = new Array[Long](cap)
+  private var n = 0
+
+  @inline private def slotOf(key: Long, ks: Array[Long]): Int = {
+    var h = key
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    (h ^ (h >>> 31)).toInt & (ks.length - 1)
+  }
+
+  /** returns true if newly added */
+  def add(key0: Long): Boolean = {
+    val key = if (key0 == 0L) NgramHash.ZeroRemap else key0
+    var i = slotOf(key, keys)
+    while (keys(i) != 0L) {
+      if (keys(i) == key) return false
+      i = (i + 1) & (cap - 1)
+    }
+    keys(i) = key
+    n += 1
+    if (n * 2 > cap) grow()
+    true
+  }
+
+  def clear(): Unit = { java.util.Arrays.fill(keys, 0L); n = 0 }
+
+  private def grow(): Unit = {
+    val old = keys
+    cap <<= 1
+    keys = new Array[Long](cap)
+    n = 0
+    var i = 0
+    while (i < old.length) {
+      val k = old(i)
+      if (k != 0L) {
+        var j = slotOf(k, keys)
+        while (keys(j) != 0L) j = (j + 1) & (cap - 1)
+        keys(j) = k
+        n += 1
+      }
+      i += 1
+    }
+  }
+}
+
+/** The langram-equivalent detector core: a pure, allocation-light Scala
+  * function suitable for use inside a Spark typed map over documents.
+  * Semantics mirror reference: src/detector/mod.rs:230-452 exactly
+  * (prefilter → candidate intersect → length-adaptive n-gram sizes →
+  * per-size dedup probe with floor penalties → mean log-prob → sort →
+  * raw / or-none / reordered / relative APIs).
+  */
+/** One ranked result: language ordinal + (log or relative) probability. */
+final case class Scored(langId: Int, prob: Double)
+
+final class Detector(val model: PackedModel, val config: DetectorConfig) extends Serializable {
+  private val nLangs = model.nLangs
+  // dense candidate-membership flags for the configured language set
+  private val configured: Array[Boolean] = {
+    val a = new Array[Boolean](nLangs)
+    config.languages.foreach(l => a(l) = true)
+    a
+  }
+
+  /** Scratch buffers, one per detector instance. NOT thread-safe: use one
+    * Detector per task/partition (cheap; the model itself is shared).
+    */
+  private val sums = new Array[Double](nLangs)
+  private val cnts = new Array[Int](nLangs)
+  private val hitStamp = new Array[Int](nLangs)
+  private val isCand = new Array[Boolean](nLangs)
+  private var stamp = 0
+  private val seen = new LongSeenSet(256)
+
+  /** `probabilities` of the reference (src/detector/mod.rs:230-320):
+    * sorted (prob desc, lang ordinal asc); 0.0 for the single-candidate
+    * shortcut; also returns the words for the reorder formula.
+    */
+  def probabilitiesExtra(text: String): (ArrayBuffer[Scored], ArrayBuffer[Tokenizer.Word]) = {
+    val empty = (ArrayBuffer.empty[Scored], ArrayBuffer.empty[Tokenizer.Word])
+    if (text.isEmpty) return empty
+
+    val pre = Tokenizer.prefilter(text)
+    val cands = pre.candidates.filter(configured)
+    if (pre.words.isEmpty || cands.isEmpty) return (ArrayBuffer.empty[Scored], pre.words)
+    if (cands.length == 1)
+      return (ArrayBuffer(Scored(cands(0), 0.0)), pre.words)
+
+    val words = pre.words
+    var charsCount = 0
+    var w = 0
+    while (w < words.length) { charsCount += words(w).length; w += 1 }
+
+    var sizes =
+      if (charsCount < config.longTextMinLen) config.shortSizes else config.longSizes
+    val wordgramsEnabled = sizes.nonEmpty && sizes(sizes.length - 1) == 5
+    if (wordgramsEnabled) sizes = sizes.slice(0, sizes.length - 1)
+
+    // reset accumulators for the candidate set
+    var i = 0
+    while (i < cands.length) {
+      val l = cands(i)
+      sums(l) = 0.0; cnts(l) = 0; isCand(l) = true
+      i += 1
+    }
+
+    var s = 0
+    while (s < sizes.length) {
+      val n = sizes(s) + 1 // window length
+      val table = model.charTables(sizes(s))
+      seen.clear()
+      var wi = 0
+      while (wi < words.length) {
+        val cps = words(wi).cps
+        var start = 0
+        while (start + n <= cps.length) {
+          val key = NgramHash.ofWindow(cps, start, n)
+          if (seen.add(key)) probeNgram(table, key, cands, model.charFloors, perLangFloor = true)
+          start += 1
+        }
+        wi += 1
+      }
+      s += 1
+    }
+
+    if (wordgramsEnabled) {
+      // whole words, NO dedup (reference: src/detector/mod.rs:290-296)
+      var wi = 0
+      while (wi < words.length) {
+        val cps = words(wi).cps
+        val key = NgramHash.ofWindow(cps, 0, cps.length)
+        probeNgram(model.wordTable, key, cands, null, perLangFloor = false)
+        wi += 1
+      }
+    }
+
+    // mean log-prob per candidate; cnt==0 → −∞ (src/detector/mod.rs:202-220)
+    val res = new ArrayBuffer[Scored](cands.length)
+    i = 0
+    while (i < cands.length) {
+      val l = cands(i)
+      res += Scored(l, if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l))
+      isCand(l) = false
+      i += 1
+    }
+    // sort prob desc (total order), lang ordinal asc tiebreak
+    val sorted = res.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(b.prob, a.prob)
+      if (c != 0) c < 0 else a.langId < b.langId
+    }
+    (sorted, words)
+  }
+
+  /** Probe one n-gram and accumulate (reference `ngrams_sum_cnt`,
+    * src/detector/mod.rs:103-138): candidates present in the postings get
+    * (prob, +1); if at least one candidate hit, the remaining candidates get
+    * the floor added to their sum WITHOUT incrementing the count.
+    */
+  @inline private def probeNgram(
+      table: ProbTable,
+      key: Long,
+      cands: Array[Int],
+      floors: Array[Double],
+      perLangFloor: Boolean
+  ): Unit = {
+    val slot = table.find(key)
+    if (slot < 0) return
+    val len = table.lens(slot)
+    if (len == 0) return
+    stamp += 1
+    val st = table.starts(slot)
+    var hits = 0
+    var j = 0
+    while (j < len) {
+      val lang = table.postLangs(st + j).toInt
+      if (isCand(lang)) {
+        sums(lang) += table.postProbs(st + j).toDouble
+        cnts(lang) += 1
+        hitStamp(lang) = stamp
+        hits += 1
+      }
+      j += 1
+    }
+    if (hits == 0) return
+    var i = 0
+    while (i < cands.length) {
+      val l = cands(i)
+      if (hitStamp(l) != stamp) {
+        sums(l) += (if (perLangFloor) floors(l) else model.wordgramFloor)
+      }
+      i += 1
+    }
+  }
+
+  def probabilities(text: String): ArrayBuffer[Scored] = probabilitiesExtra(text)._1
+
+  /** Softmax with the reference's special cases
+    * (src/detector/mod.rs:467-510): top==0.0 → keep only the zeros, uniform;
+    * top==−∞ → uniform; exp-sum==0 → singleton 1.0.
+    */
+  def probabilitiesRelative(text: String): ArrayBuffer[Scored] =
+    relativize(probabilities(text))
+
+  private def relativize(probs: ArrayBuffer[Scored]): ArrayBuffer[Scored] = {
+    if (probs.isEmpty) return probs
+    val first = probs(0).prob
+    var kept = probs
+    if (first == 0.0) {
+      val zeros = kept.indexWhere(_.prob != 0.0) match {
+        case -1 => kept.length
+        case i  => i
+      }
+      kept = kept.take(zeros)
+    }
+    if (first == 0.0 || first == Double.NegativeInfinity) {
+      val u = 1.0 / kept.length
+      return kept.map(s => Scored(s.langId, u))
+    }
+    var denom = 0.0
+    val exped = kept.map { s =>
+      val e = math.exp(s.prob)
+      denom += e
+      Scored(s.langId, e)
+    }
+    if (denom == 0.0) {
+      return ArrayBuffer(Scored(exped(0).langId, 1.0))
+    }
+    exped.map(s => Scored(s.langId, s.prob / denom))
+  }
+
+  /** Top-1 with min-distance gate (reference: src/detector/mod.rs:351-374). */
+  def detectTopOneOrNone(text: String, minimumDistance: Double): Option[Int] = {
+    val probs = probabilities(text)
+    if (probs.isEmpty) return None
+    if (probs.length == 1) return Some(probs(0).langId)
+    val diff = probs(0).prob - probs(1).prob
+    // 2.220446049250313e-16 == f64::EPSILON (reference: src/detector/mod.rs:366-369)
+    if (diff.isNaN || diff < 2.220446049250313e-16 || diff < minimumDistance) None
+    else Some(probs(0).langId)
+  }
+
+  /** Top-1 with popularity reorder among near-ties
+    * (reference: src/detector/mod.rs:383-431): keep langs with
+    * p ≥ p1 − d, pick the minimum ordinal (= most popular).
+    */
+  def detectTopOneReorderedCustom(
+      text: String,
+      reorderDistance: (ArrayBuffer[Tokenizer.Word]) => Double
+  ): Option[Int] = {
+    val (probs, words) = probabilitiesExtra(text)
+    if (probs.isEmpty) return None
+    val firstProb = probs(0).prob
+    val d = reorderDistance(words)
+    val reorderProb = firstProb - d
+    var lim = probs.indexWhere(_.prob < reorderProb)
+    if (lim == -1) lim = probs.length
+    var best = probs(0).langId
+    var i = 1
+    while (i < lim) {
+      if (probs(i).langId < best) best = probs(i).langId
+      i += 1
+    }
+    Some(best)
+  }
+
+  /** Default reorder formula `1.35 / (utf8_bytes + n_words³ − 1)`
+    * (reference: src/detector/mod.rs:422-429).
+    */
+  def detectTopOneReordered(text: String): Option[Int] =
+    detectTopOneReorderedCustom(
+      text,
+      words => {
+        var bytes = 0L
+        var i = 0
+        while (i < words.length) { bytes += words(i).utf8Bytes; i += 1 }
+        1.35 / (bytes + words.length.toLong * words.length * words.length - 1).toDouble
+      }
+    )
+
+  def detectTopOneRaw(text: String): Option[Int] =
+    detectTopOneReorderedCustom(text, _ => 0.0)
+
+  /** (langCode, top-1 relative confidence) convenience for pipeline columns.
+    * Single detection pass: reordered pick + its softmax relative prob.
+    */
+  def detectWithConfidence(text: String): (String, Double) = {
+    val (probs, words) = probabilitiesExtra(text)
+    if (probs.isEmpty) return ("und", 0.0)
+    // reordered pick (src/detector/mod.rs:418-431)
+    var bytes = 0L
+    var i = 0
+    while (i < words.length) { bytes += words(i).utf8Bytes; i += 1 }
+    val d = 1.35 / (bytes + words.length.toLong * words.length * words.length - 1).toDouble
+    val reorderProb = probs(0).prob - d
+    var lim = probs.indexWhere(_.prob < reorderProb)
+    if (lim == -1) lim = probs.length
+    var best = probs(0).langId
+    i = 1
+    while (i < lim) { if (probs(i).langId < best) best = probs(i).langId; i += 1 }
+    // softmax confidence of the pick (src/detector/mod.rs:467-510)
+    val rel = relativize(probs)
+    val conf = rel.find(_.langId == best).map(_.prob).getOrElse(0.0)
+    (ScriptLang.code(best), conf)
+  }
+}

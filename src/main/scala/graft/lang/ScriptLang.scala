@@ -1,0 +1,157 @@
+package graft.lang
+
+/** Language registry: language × writing script, with an explicit popularity
+  * ordering and per-language alphabet membership.
+  *
+  * Mirrors the observable contract of the reference's `ScriptLanguage` enum
+  * (reference: src/lib.rs:3, 346 variants from the external
+  * `alphabet_detector` crate) without porting it: we keep a compact registry
+  * of the languages our fixtures model, ordered by approximate total
+  * speakers (most first). The ordinal is used exactly like the reference's
+  * enum order: as the tiebreak in result sorting
+  * (reference: src/detector/mod.rs:455-464) and as the popularity rank in
+  * `detect_top_one_reordered` (reference: src/detector/mod.rs:376-409).
+  *
+  * Alphabets are defined from public orthography knowledge; script
+  * identification uses the JDK's `Character.UnicodeScript` (public Unicode
+  * data). Exact 346-language parity is not required (SURVEY.md §1.4).
+  */
+object ScriptLang {
+
+  /** One registered language.
+    *
+    * @param id        dense ordinal == popularity rank (0 = most spoken)
+    * @param code      stable string code emitted in output columns
+    * @param scripts   Unicode script names (Character.UnicodeScript.name)
+    * @param alphabet  lowercase code points of the orthography; empty ⇒
+    *                  membership decided by script alone (script-only langs)
+    */
+  final case class Lang(id: Int, code: String, scripts: Set[String], alphabet: Set[Int])
+
+  private def cps(s: String): Set[Int] = s.codePoints().toArray.toSet
+
+  private val azLower = cps("abcdefghijklmnopqrstuvwxyz")
+  private val ruBase  = cps("абвгдежзийклмнопрстуфхцчшщъыьэюяё")
+
+  private def latin(extra: String): (Set[String], Set[Int]) =
+    (Set("LATIN"), azLower ++ cps(extra))
+  private def cyr(chars: String): (Set[String], Set[Int]) =
+    (Set("CYRILLIC"), cps(chars))
+  private def scriptOnly(names: String*): (Set[String], Set[Int]) =
+    (names.toSet, Set.empty[Int])
+
+  // Vietnamese tone-marked vowels, spelled out (precomposed NFC forms).
+  private val viExtra =
+    "ăâđêôơưáàảãạắằẳẵặấầẩẫậéèẻẽẹếềểễệíìỉĩịóòỏõọốồổỗộớờởỡợúùủũụứừửữựýỳỷỹỵ"
+
+  /** Registry in popularity order. Do not reorder entries: ordinal is
+    * contract (it is the reordered-mode popularity rank).
+    */
+  val all: Vector[Lang] = {
+    val defs: Vector[(String, (Set[String], Set[Int]))] = Vector(
+      "eng" -> latin(""),
+      "cmn_Hans" -> scriptOnly("HAN"),
+      "hin" -> scriptOnly("DEVANAGARI"),
+      "spa" -> latin("áéíóúüñ¿¡"),
+      "fra" -> latin("àâæçéèêëîïôœùûüÿ"),
+      "arb" -> (Set("ARABIC"), cps("ابتثجحخدذرزسشصضطظعغفقكلمنهويءآأؤإئةى")),
+      "ben" -> scriptOnly("BENGALI"),
+      "por" -> latin("áâãàçéêíóôõú"),
+      "rus" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"),
+      "urd" -> (Set("ARABIC"), cps("ابپتٹثجچحخدڈذرڑزژسشصضطظعغفقکگلمنںوہھءیےآأؤئة")),
+      "deu" -> latin("äöüß"),
+      "jpn" -> scriptOnly("HIRAGANA", "KATAKANA", "HAN"),
+      "mar" -> scriptOnly("DEVANAGARI"),
+      "vie" -> latin(viExtra),
+      "tur" -> latin("çğıöşüâîû"),
+      "ita" -> latin("àèéìíîòóùú"),
+      "yor" -> latin("ẹọṣàáèéìíòóùúńǹ"),
+      "cmn_Hant" -> scriptOnly("HAN"),
+      "kor" -> scriptOnly("HANGUL"),
+      "pol" -> latin("ąćęłńóśźż"),
+      "ukr" -> cyr("абвгґдеєжзиіїйклмнопрстуфхцчшщьюя"),
+      "nld" -> latin("éëèêïĳöü"),
+      "ron" -> latin("ăâîșşțţ"),
+      "ell" -> scriptOnly("GREEK"),
+      "aze" -> latin("çəğıöşü"),
+      "kaz" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәғқңөұүһі"),
+      "hun" -> latin("áéíóöőúüű"),
+      "ces" -> latin("áčďéěíňóřšťúůýž"),
+      "swe" -> latin("åäö"),
+      "heb" -> scriptOnly("HEBREW"),
+      "bul" -> cyr("абвгдежзийклмнопрстуфхцчшщъьюя"),
+      "bel" -> cyr("абвгдеёжзійклмнопрстуўфхцчшыьэюя"),
+      "slk" -> latin("áäčďéíĺľňóôŕšťúýž"),
+      "hrv" -> latin("čćđšž"),
+      "dan" -> latin("æøå"),
+      "fin" -> latin("äöå"),
+      "nob" -> latin("æøå"),
+      "lit" -> latin("ąčęėįšųūž"),
+      "slv" -> latin("čšž"),
+      "lav" -> latin("āčēģīķļņšūž"),
+      "mkd" -> cyr("абвгдѓежзѕијклљмнњопрстќуфхцчџш"),
+      "sqi" -> latin("çë"),
+      "est" -> latin("šžõäöü"),
+      "nno" -> latin("æøå"),
+      "khk" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёөү"),
+      "epo" -> latin("ĉĝĥĵŝŭ"),
+      "tpi" -> latin(""),
+      "isl" -> latin("áðéíóúýþæö"),
+      "cat" -> latin("àéèíïóòúüç"),
+      "cja" -> scriptOnly("CHAM"), // Cham Eastern (no model; prefilter-only)
+      "cjm" -> scriptOnly("CHAM")  // Cham Western
+    )
+    defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
+      Lang(i, code, scripts, alphabet)
+    }
+  }
+
+  val count: Int = all.size
+  private val byCode: Map[String, Lang] = all.map(l => l.code -> l).toMap
+  def apply(code: String): Lang = byCode(code)
+  def id(code: String): Int = byCode(code).id
+  def code(id: Int): String = all(id).code
+
+  /** langs sharing at least one script with the given script name */
+  private val byScript: Map[String, Array[Int]] =
+    all.flatMap(l => l.scripts.map(_ -> l.id))
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).sorted.toArray }
+
+  def langsOfScript(script: String): Array[Int] =
+    byScript.getOrElse(script, Array.emptyIntArray)
+
+  /** Unicode script name of a code point (JDK data). */
+  def scriptOf(cp: Int): String =
+    Character.UnicodeScript.of(cp).name
+
+  // Membership tables, precomputed for the hot loop ------------------------
+
+  /** True iff code point `cp` belongs to language `langId`'s orthography:
+    * explicit-alphabet langs check the alphabet set; script-only langs check
+    * the Unicode script. Mirrors alphabet_detector's `Word.langs_cnt`
+    * semantics as used at reference: train/src/writer.rs:47-52 and
+    * src/detector/mod.rs:235.
+    */
+  def belongs(langId: Int, cp: Int): Boolean = {
+    val l = all(langId)
+    if (l.alphabet.nonEmpty) l.alphabet.contains(cp)
+    else l.scripts.contains(scriptOf(cp))
+  }
+
+  /** All languages a code point can belong to (for the prefilter). */
+  def langsOfCp(cp: Int): Array[Int] = {
+    val script = scriptOf(cp)
+    val candidates = langsOfScript(script)
+    if (candidates.isEmpty) Array.emptyIntArray
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[Int](candidates.length)
+      var i = 0
+      while (i < candidates.length) {
+        val l = all(candidates(i))
+        if (l.alphabet.isEmpty || l.alphabet.contains(cp)) out += candidates(i)
+        i += 1
+      }
+      out.toArray
+    }
+  }
+}
