@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, plus DuckDB-runnable oracle SQL for every
+  * SQL-expressible one. Column names and types are aligned between the
+  * Spark plan and the oracle (the driver hash-compares after sorting
+  * columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: langram-style language-ID over documents on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    LangOps.q21LangId(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational operator inventory (SURVEY.md §2.2)
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_pushdown" -> (Relational.q02FilterPushdown _),
+    "q03_broadcast_join" -> (Relational.q03BroadcastJoin _),
+    "q04_shuffle_join_agg" -> (Relational.q04ShuffleJoinAgg _),
+    "q05_topk" -> (Relational.q05TopK _),
+    "q06_window_rank" -> (Relational.q06WindowRank _),
+    "q07_distinct_agg" -> (Relational.q07DistinctAgg _),
+    "q08_semi_anti" -> (Relational.q08SemiAnti _),
+    "q09_set_ops" -> (Relational.q09SetOps _),
+    "q10_sessionize" -> (Relational.q10Sessionize _),
+    "q11_rollup" -> (Relational.q11Rollup _),
+    "q12_exists_subquery" -> (Relational.q12ExistsSubquery _),
+    "q13_scalar_agg" -> (Relational.q13ScalarAgg _),
+    // text analysis / training-data ops
+    "q14_tokens" -> (TextOps.q14Tokens _),
+    "q15_quality" -> (TextOps.q15Quality _),
+    "q16_dedup_exact" -> (TextOps.q16DedupExact _),
+    "q17_minhash_pairs" -> ((s: SparkSession, d: String) => TextOps.q17MinHashPairs(s, d)),
+    "q18_simhash" -> (TextOps.q18SimHash _),
+    "q19_ngram_jaccard" -> ((s: SparkSession, d: String) => TextOps.q19NgramJaccard(s, d)),
+    "q22_scrub" -> (TextOps.q22Scrub _),
+    "q24_fingerprint" -> (TextOps.q24Fingerprint _),
+    "q25_repetition" -> (TextOps.q25Repetition _),
+    // language ID (langram-equivalent core)
+    "q21_langid" -> (LangOps.q21LangId _),
+    "q23_lang_profile" -> (LangOps.q23LangProfile _),
+    // similarity search / multimodal plumbing
+    "q20_ann_brute_force" -> ((s: SparkSession, d: String) => Similarity.q20AnnBruteForce(s, d)),
+    "q26_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.q26LshAnn(s, d)),
+    "q27_multimodal_features" -> (Similarity.q27MultimodalFeatures _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | round(l_extendedprice*l_discount,4) AS disc_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_broadcast_join" ->
+      """SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal),2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q04_shuffle_join_agg" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS total, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q07_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q08_semi_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        | WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q09_set_ops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM
+        | (SELECT l_partkey AS k FROM lineitem INTERSECT SELECT p_partkey FROM part) t1
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM
+        | (SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey FROM lineitem) t2
+        |UNION ALL
+        |SELECT 'union_distinct' AS op, count(*) AS n FROM
+        | (SELECT l_partkey AS k FROM lineitem UNION SELECT p_partkey FROM part) t3""".stripMargin,
+    "q10_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id,
+        |  sum(CASE WHEN prev_ts IS NULL
+        |           OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        | FROM e),
+        |g AS (SELECT user_id, session_id, count(*) AS n_events
+        |      FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q12_exists_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders WHERE EXISTS
+        | (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q13_scalar_agg" ->
+      """SELECT count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_price,
+        | round(min(l_extendedprice),2) AS min_price,
+        | round(max(l_extendedprice),2) AS max_price,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q14_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        | length(text) AS n_chars_computed,
+        | len(string_split_regex(text, '[a-z]+')) - 1 AS n_letter_runs
+        |FROM documents""".stripMargin,
+    "q15_quality" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS word_count,
+        | len(list_distinct(string_split(text,' '))) AS distinct_words,
+        | round(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'sum')::DOUBLE
+        |       / len(string_split(text,' ')), 4) AS avg_word_len
+        |FROM documents""".stripMargin,
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q20_ann_brute_force" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+        |scored AS (
+        | SELECT query_id, vec_id,
+        |  list_dot_product(qv, v) /
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        | FROM emb CROSS JOIN q WHERE vec_id <> query_id),
+        |ranked AS (SELECT query_id, vec_id, cos,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        | FROM scored)
+        |SELECT query_id, rnk, vec_id, round(cos,6) AS cos FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q22_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+        | '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        | '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        | '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed_text
+        |FROM documents""".stripMargin,
+    "q25_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
+        |SELECT doc_id, round(max(c)::DOUBLE/sum(c), 4) AS repetition_ratio,
+        | sum(c)::BIGINT AS n_words
+        |FROM c GROUP BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.lang.{Detector, DetectorConfig, PackedModel}
+import graft.train.FixtureCorpus
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Language-ID over document tables: the langram-equivalent detector driven
+  * from a broadcast model inside a typed partition map — the north_star
+  * shape ("language-model tables broadcast rather than joined").
+  */
+object LangOps {
+
+  @transient private var cached: Broadcast[PackedModel] = _
+
+  /** Broadcast the deterministic fixture model once per JVM/session. */
+  def broadcastModel(spark: SparkSession): Broadcast[PackedModel] = synchronized {
+    if (cached == null || cached.id < 0) {
+      cached = spark.sparkContext.broadcast(FixtureCorpus.model)
+    }
+    cached
+  }
+
+  /** Per-document (lang, confidence): one Detector per partition (reusing
+    * its scratch buffers), model shared via broadcast — one copy per
+    * executor, exactly like the reference's mmap-shared model
+    * (reference: README.md:16-17 → SURVEY.md §4).
+    */
+  def q21LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bc = broadcastModel(spark)
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val det = new Detector(bc.value, DetectorConfig.default)
+        it.map { case (id, text) =>
+          val (lang, conf) = det.detectWithConfidence(text)
+          (id, lang, math.round(conf * 10000.0) / 10000.0)
+        }
+      }
+      .toDF("doc_id", "lang_detected", "confidence")
+  }
+
+  /** Corpus language profile: detected-language histogram. */
+  def q23LangProfile(spark: SparkSession, sfDir: String): DataFrame =
+    q21LangId(spark, sfDir)
+      .groupBy(col("lang_detected"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("confidence")), 4).as("avg_conf"))
+      .orderBy(col("lang_detected"))
+}

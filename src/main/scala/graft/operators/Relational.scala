@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory (SURVEY.md §2.2): scans, filters,
+  * broadcast + shuffle joins, hash aggregation, distinct, window functions,
+  * top-k, set ops, rollup, semi/anti joins — each as a declarative
+  * DataFrame plan so Catalyst gets pushdown/pruning/AQE for free.
+  *
+  * Scale notes are in each scaladoc; every double output is rounded so the
+  * DuckDB oracle hash-compares exactly.
+  */
+object Relational {
+
+  /** Hash aggregation with partial (map-side) combine — the Spark analog of
+    * the reference's per-language (Σ, cnt) partial+final aggregation
+    * (reference: src/detector/mod.rs:23-33, 202-220). At 100 TB this is a
+    * single shuffle of ~|groups| rows per partition.
+    */
+  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Filter + projection with parquet pushdown: the scan must read only the
+    * projected columns and skip row groups via PushedFilters.
+    */
+  def q02FilterPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * col("l_discount"), 4).as("disc_revenue")
+      )
+  }
+
+  /** Dimension joins: nation and region are tiny → broadcast hash joins, no
+    * shuffle of the fact side. At 1000 executors the customer scan streams
+    * through two broadcast joins with zero exchange.
+    */
+  def q03BroadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal")
+      )
+      .orderBy(col("r_name"))
+  }
+
+  /** Fact-to-fact equi join: shuffle hash / sort-merge on the join key, with
+    * AQE free to pick and to split skewed partitions. The aggregation's
+    * partial combine keeps the post-join shuffle small.
+    */
+  def q04ShuffleJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Global top-k: `orderBy + limit` compiles to TakeOrderedAndProject —
+    * per-partition heaps then a driver merge of k rows, no full sort.
+    */
+  def q05TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Windowed top-n per group (the reference's per-document result ranking
+    * is window-shaped — SURVEY.md §2.2 "window functions").
+    */
+  def q06WindowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total"), col("rn"))
+  }
+
+  /** Exact distinct aggregation (expands to a two-phase aggregate). */
+  def q07DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Left-semi and left-anti joins (EXISTS / NOT EXISTS). */
+  def q08SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+    withOrders.unionByName(withoutOrders).select(col("kind"), col("n"))
+  }
+
+  /** Relational set operations. */
+  def q09SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val liKeys = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("k"))
+    val pKeys = Tables.part(spark, sfDir).select(col("p_partkey").as("k"))
+    val inBoth = liKeys.intersect(pKeys).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect"))
+    val onlyParts = pKeys.except(liKeys).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except"))
+    val unioned = liKeys.union(pKeys).distinct().agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("union_distinct"))
+    inBoth.unionByName(onlyParts).unionByName(unioned).select(col("op"), col("n"))
+  }
+
+  /** Sessionization over the event stream: lag + conditional cumulative sum,
+    * the canonical two-window composition. Partitioned by user — scales as
+    * one shuffle by user_id.
+    */
+  def q10Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long") > 1800,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events")
+      )
+  }
+
+  /** Hierarchical aggregate: ROLLUP with explicit null-marker columns so the
+    * oracle hash matches (grouping() instead of raw NULLs).
+    */
+  def q11Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n")
+      )
+
+  /** Correlated-EXISTS-shaped: orders having any high-quantity line. */
+  def q12ExistsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val bigLines = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Scalar (grand) aggregate — single row, fully map-side combined. */
+  def q13ScalarAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      round(min(col("l_extendedprice")), 2).as("min_price"),
+      round(max(col("l_extendedprice")), 2).as("max_price"),
+      countDistinct(col("l_orderkey")).as("n_orders")
+    )
+}

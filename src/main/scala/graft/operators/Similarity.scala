@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a streamed scan of the corpus; the per-pair math stays in
+  * declarative `zip_with`/`aggregate` so it is codegen'd and never leaves
+  * Tungsten rows. Scale path: hyperplane-LSH bucketing so the all-pairs
+  * product becomes a per-bucket product.
+  */
+object Similarity {
+
+  /** cosine(a, b) computed in double precision, left-to-right summation —
+    * bit-identical to the DuckDB oracle's list_cosine_similarity on
+    * DOUBLE[].
+    */
+  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) broadcast
+    * against the corpus; per-query top-5 via TakeOrdered-style window.
+    * At 100 TB the corpus side stays partition-parallel; only k rows per
+    * query survive the final shuffle.
+    */
+  def q20AnnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        cosineCol(col("qv"), col("v")).as("cos")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane p, dim d →
+    * value in (-1, 1). Shared by signature and (hypothetically) a probe
+    * side — versioned like the n-gram hash.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    var x = (plane.toLong << 32) ^ dim.toLong ^ 0x6a09e667f3bcc909L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x = x ^ (x >>> 31)
+    (x.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Bucket-signature width: coarse on purpose (2^6 = 64 buckets) so every
+    * vector has bucket-mates; at larger corpus sizes raise `planes` with
+    * log2(n) to keep per-bucket pair expansion bounded.
+    */
+  final val Planes = 6
+
+  def lshSignature(v: Array[Float], planes: Int = Planes): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d) * planeComponent(p, d); d += 1 }
+      if (dot > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed approximate nearest neighbor: hyperplane signature (typed
+    * map, no shuffle) → bucket by signature (with Hamming-1 multi-probe on
+    * the probe side) → per-vector best cosine within its probed buckets.
+    * The all-pairs product becomes a per-bucket product: at 100 TB the
+    * shuffle is keyed by bucket and each task scores only its bucket.
+    */
+  def q26LshAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, v) => (id, lshSignature(v), v.map(_.toDouble)) }
+      .toDF("vec_id", "sig", "v")
+    // probe buckets: identical signature OR Hamming-1 neighbors
+    val probes = sigs.select($"vec_id", $"sig", $"v")
+      .as[(Long, Int, Array[Double])]
+      .flatMap { case (id, sig, v) =>
+        Iterator.single((id, sig, v)) ++
+          (0 until Planes).iterator.map(b => (id, sig ^ (1 << b), v))
+      }
+      .toDF("vec_id", "bucket", "v")
+    val exact = sigs.select($"vec_id".as("rid"), $"sig".as("bucket"), $"v".as("rv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("rid"))
+    probes.join(exact, probes("bucket") === exact("bucket") && probes("vec_id") =!= col("rid"))
+      .select($"vec_id", $"rid", cosineCol($"v", $"rv").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .select($"vec_id", $"rid".as("ann_vec_id"), round($"cos", 6).as("cos"))
+  }
+
+  /** Multimodal column plumbing (driver-spec addition): treat opaque binary
+    * payloads with typed metadata, run a batched "decode + featurize" over
+    * partitions. The real image/audio decode is STUBBED with a
+    * deterministic byte-statistics featurizer (decode libs are not in this
+    * container); the Spark-side contract — binary column, metadata struct,
+    * partition-batched map, fixed-length feature vector — is real.
+    */
+  def q27MultimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB decode: deterministic byte histogram over 8 buckets as the
+          // "feature vector"; real pipelines swap in an image/audio decoder.
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) >>> 5) += 1; i += 1 }
+          val norm = math.max(1L, bytes.length).toDouble
+          (id, bytes.length.toLong, hist.map(h => math.round(h / norm * 10000.0) / 10000.0))
+        }
+      }
+      .toDF("doc_id", "payload_bytes", "features")
+  }
+}

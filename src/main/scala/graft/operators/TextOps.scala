@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.lang.NgramHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + deduplication operators for a training-data pipeline
+  * over the `documents` table: token stats, quality scores, PII scrub,
+  * repetition ratio, exact/MinHash/SimHash/Jaccard dedup, fingerprints.
+  *
+  * Design rule: anything expressible with `org.apache.spark.sql.functions`
+  * stays declarative (codegen + pushdown); only the per-document hashing
+  * kernels (minhash/simhash/fingerprint) drop into typed maps, which remain
+  * one-pass, allocation-light, and partition-local (no driver loops).
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens + a BPE-ish subword proxy (runs of
+    * letters vs digits vs punctuation). Declarative — whole-stage codegen.
+    */
+  def q14Tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        (size(split(col("text"), "[a-z]+")) - 1).cast("long").as("n_letter_runs")
+      )
+
+  /** Quality scoring: word stats every web-scale filter computes
+    * (length, distinct ratio, mean word length). All codegen'd.
+    */
+  def q15Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(words).cast("long").as("word_count"),
+        size(array_distinct(words)).cast("long").as("distinct_words"),
+        round(
+          aggregate(transform(words, w => length(w)), lit(0), (acc, x) => acc + x)
+            .cast("double") / size(words),
+          4
+        ).as("avg_word_len")
+      )
+  }
+
+  /** Exact deduplication: hash-groupBy on md5(text) — one shuffle keyed by
+    * digest; representative = min doc_id. The 100 TB path is identical:
+    * shuffle carries (digest, doc_id) pairs only, never the text.
+    */
+  def q16DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(md5(col("text").cast("binary")).as("text_hash"), col("doc_id"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** PII scrub: regex chain shared (same patterns, RE2-safe subset) with the
+    * DuckDB oracle. The pipeline version (Pipeline.scala) also scrubs a
+    * toxicity wordlist.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  def scrubCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"
+      ),
+      phoneRe, "<PHONE>"
+    )
+
+  def q22Scrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), scrubCol(col("text")).as("scrubbed_text"))
+
+  /** Repetition ratio: top word frequency / word count — the window-aggregate
+    * quality rule from the north_star. Explode + two-level aggregate; the
+    * shuffle is by (doc_id, word) then doc_id, both well-partitioned.
+    */
+  def q25Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("repetition_ratio"),
+        sum(col("c")).as("n_words")
+      )
+
+  // --- hashing kernels ----------------------------------------------------
+
+  /** Character 3-gram shingle hashes of a text (codepoint-level, includes
+    * spaces — standard near-dup shingling).
+    */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < n) return Array.emptyLongArray
+    val out = new Array[Long](cps.length - n + 1)
+    var i = 0
+    while (i + n <= cps.length) {
+      out(i) = NgramHash.ofWindow(cps, i, n)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // distinct in place
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  @inline private def mix(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  final val MinHashPerms = 64
+  final val Bands = 16
+  final val RowsPerBand = MinHashPerms / Bands
+  private val permSeeds: Array[Long] =
+    Array.tabulate(MinHashPerms)(i => mix(0x51_7c_c1_b7_27_22_0a_95L + i * 0x9e3779b97f4a7c15L))
+
+  /** MinHash signature over the shingle set (one pass, no allocation per
+    * shingle beyond the signature array).
+    */
+  def minHashSignature(shingles: Array[Long]): Array[Long] = {
+    val sig = Array.fill(MinHashPerms)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val s = shingles(i)
+      var p = 0
+      while (p < MinHashPerms) {
+        val h = mix(s ^ permSeeds(p))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    // both sorted distinct
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** MinHash + LSH near-duplicate pairs:
+    * signature (typed map, partition-local) → explode into `Bands` band-hash
+    * rows → shuffle by band bucket → intra-bucket candidate pairs →
+    * exact-Jaccard verify on the shingle sets (joined back by doc_id).
+    *
+    * Scale: the only all-to-all movement is (doc_id, band_hash) pairs —
+    * 16 longs per document, not the text. Bucket pair-expansion is bounded
+    * by bucket size; verify rejoins text for candidates only.
+    */
+  def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+
+    val bandRows = docs.mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val sig = minHashSignature(shingleHashes(text))
+        (0 until Bands).iterator.map { b =>
+          var h = 0x9e3779b97f4a7c15L ^ b
+          var r = 0
+          while (r < RowsPerBand) { h = mix(h ^ sig(b * RowsPerBand + r)); r += 1 }
+          (b, h, id)
+        }
+      }
+    }.toDF("band", "band_hash", "doc_id")
+
+    val candidates = bandRows.as("l")
+      .join(bandRows.as("r"), expr("l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"))
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
+      .distinct()
+
+    // verify candidates with exact jaccard over shingle sets
+    val shingled = docs.map { case (id, text) => (id, shingleHashes(text)) }
+      .toDF("doc_id", "shingles")
+    val verified = candidates
+      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (b, a, shA, shB) => (a, b, exactJaccard(shA, shB)) }
+      .toDF("doc_a", "doc_b", "jaccard")
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+    verified
+  }
+
+  /** SimHash (64-bit) per document over word tokens: near-identical docs
+    * differ in few bits. One typed map, zero shuffle.
+    */
+  def simHash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          var h = NgramHash.Seed
+          var j = start
+          while (j < i) { h = NgramHash.step(h, text.charAt(j).toInt); j += 1 }
+          h = mix(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def q18SimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) => (id, simHash64(text)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** N-gram Jaccard near-dup within a `source` partition: exact pairwise
+    * Jaccard but only inside each source group (candidate blocking), the
+    * pattern for bounded-key blocking at scale.
+    */
+  def q19NgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .map { case (src, id, text) => (src, id, shingleHashes(text)) }
+      .toDF("source", "doc_id", "shingles")
+    docs.as("l")
+      .join(docs.as("r"), expr("l.source = r.source AND l.doc_id < r.doc_id"))
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"), $"l.shingles".as("sh_a"), $"r.shingles".as("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, shA, shB) => (a, b, exactJaccard(shA, shB)) }
+      .toDF("doc_a", "doc_b", "jaccard")
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+  }
+
+  /** Document fingerprint: 64-bit rolling-hash content fingerprint (winnowing
+    * flavor: min shingle hash + text hash), one typed map.
+    */
+  def q24Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingleHashes(text, 5)
+        val minSh = if (sh.isEmpty) 0L else sh(0) // sorted → min
+        (id, NgramHash.ofString(text), minSh)
+      }
+      .toDF("doc_id", "content_hash", "min_shingle")
+  }
+}

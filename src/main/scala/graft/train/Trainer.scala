@@ -1,0 +1,174 @@
+package graft.train
+
+import graft.lang.{ScriptLang, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Model training with the reference's relative-frequency semantics
+  * (reference: train/src/training_model.rs:37-64, train/src/writer.rs:31-142):
+  *
+  *  - training words keep only words whose every char belongs to the
+  *    language's orthography (train/src/writer.rs:47-52); Han-script
+  *    languages keep only their Han chars and train only uni+bi grams
+  *    (train/src/writer.rs:55-59, 93-95);
+  *  - unigrams and wordgrams: freq / total;
+  *  - n ≥ 2: freq / min(count(prefix_{n−1}), count(suffix_{n−1})), dropped
+  *    if either lower-gram is absent;
+  *  - stored probability = ln(fraction) (applied at load in the reference,
+  *    train/src/file_model.rs:111-115).
+  */
+object Trainer {
+
+  private def isHan(langId: Int): Boolean =
+    ScriptLang.all(langId).scripts == Set("HAN")
+
+  /** Filter + normalize one line into training words for a language. */
+  def trainingWords(langId: Int, line: String): Seq[Array[Int]] = {
+    val han = isHan(langId)
+    Tokenizer.words(line).iterator.flatMap { w =>
+      if (han) {
+        val kept = w.cps.filter(cp => ScriptLang.scriptOf(cp) == "HAN")
+        if (kept.nonEmpty) Some(kept) else None
+      } else if (w.cps.forall(cp => ScriptLang.belongs(langId, cp))) Some(w.cps)
+      else None
+    }.toSeq
+  }
+
+  /** In-memory trainer for fixtures and unit tests: lines → 6 ngram maps
+    * (uni..five, word) of ln probabilities. Mirrors
+    * `create_model_and_write_files` exactly at small scale.
+    */
+  def trainLocal(langId: Int, lines: IterableOnce[String]): Array[Map[String, Double]] = {
+    val words = lines.iterator.flatMap(l => trainingWords(langId, l)).toVector
+    val han = isHan(langId)
+
+    def windowCounts(n: Int): mutable.HashMap[String, Long] = {
+      val m = mutable.HashMap.empty[String, Long]
+      words.foreach { cps =>
+        var i = 0
+        while (i + n <= cps.length) {
+          val s = new String(cps, i, n)
+          m.update(s, m.getOrElse(s, 0L) + 1L)
+          i += 1
+        }
+      }
+      m
+    }
+
+    val counts: Array[mutable.HashMap[String, Long]] =
+      Array.tabulate(5)(i => if (han && i >= 2) mutable.HashMap.empty[String, Long] else windowCounts(i + 1))
+
+    val out = new Array[Map[String, Double]](6)
+    // unigrams: freq / total
+    val uniTotal = counts(0).valuesIterator.sum.toDouble
+    out(0) = counts(0).map { case (k, v) => k -> math.log(v / uniTotal) }.toMap
+    // n >= 2: freq / min(prefix, suffix)
+    for (n <- 2 to 5) {
+      val cur = counts(n - 1)
+      val lower = counts(n - 2)
+      out(n - 1) = cur.iterator.flatMap { case (ngram, freq) =>
+        val pre = lower.get(ngram.substring(0, ngram.length - 1))
+        val suf = lower.get(ngram.substring(1))
+        (pre, suf) match {
+          case (Some(p), Some(s)) => Some(ngram -> math.log(freq.toDouble / math.min(p, s)))
+          case _ => None
+        }
+      }.toMap
+    }
+    // wordgrams: word freq / total words (skipped for Han, writer.rs:93-95)
+    if (han || words.isEmpty) out(5) = Map.empty
+    else {
+      val wc = mutable.HashMap.empty[String, Long]
+      words.foreach { cps =>
+        val s = new String(cps, 0, cps.length)
+        wc.update(s, wc.getOrElse(s, 0L) + 1L)
+      }
+      val total = words.size.toDouble
+      out(5) = wc.map { case (k, v) => k -> math.log(v / total) }.toMap
+    }
+    out
+  }
+
+  /** Distributed trainer: corpus DataFrame (lang STRING, line STRING) →
+    * model DataFrame (lang STRING, size INT, ngram STRING, logprob DOUBLE).
+    *
+    * Scale design: the flatMap explodes (lang,size,ngram) occurrences but
+    * `groupBy.count` map-side-combines before the shuffle, so the shuffle
+    * carries only distinct n-grams per partition. The n/(n−1) relative
+    * frequency is a self-join of the counts table with itself on
+    * (lang, prefix) and (lang, suffix) — two shuffle hash joins that AQE
+    * can re-plan. Replaces the reference's hand-rolled 8-thread,
+    * memory-throttled scheduler (train/src/bin/train_files.rs:44-63).
+    */
+  def trainSpark(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    val langIds = ScriptLang.all.map(l => l.code -> l.id).toMap
+
+    // (lang, size, ngram) occurrences; size 1..5 char windows, 0 = wordgram
+    val grams = corpus
+      .select($"lang", $"line")
+      .as[(String, String)]
+      .flatMap { case (lang, line) =>
+        langIds.get(lang) match {
+          case None => Iterator.empty
+          case Some(id) =>
+            val han = ScriptLang.all(id).scripts == Set("HAN")
+            val maxN = if (han) 2 else 5
+            trainingWords(id, line).iterator.flatMap { cps =>
+              val windows = (1 to maxN).iterator.flatMap { n =>
+                (0 to cps.length - n).iterator.map(i => (lang, n, new String(cps, i, n)))
+              }
+              val word =
+                if (han) Iterator.empty
+                else Iterator.single((lang, 0, new String(cps, 0, cps.length)))
+              windows ++ word
+            }
+        }
+      }
+      .toDF("lang", "size", "ngram")
+
+    val counts = grams.groupBy($"lang", $"size", $"ngram").count()
+    counts.cache()
+
+    // totals per (lang,size) for size 1 and 0 denominators
+    val totals = counts
+      .filter($"size" === 0 || $"size" === 1)
+      .groupBy($"lang", $"size")
+      .agg(sum($"count").as("total"))
+
+    val uniAndWord = counts
+      .filter($"size" === 0 || $"size" === 1)
+      .join(broadcast(totals), Seq("lang", "size"))
+      .select(
+        $"lang", $"size", $"ngram",
+        log($"count" / $"total").as("logprob")
+      )
+
+    // n >= 2: join with (n−1) counts on prefix and suffix; inner joins drop
+    // n-grams whose lower gram is absent (train/src/training_model.rs:48-56)
+    val lower = counts
+      .filter($"size" >= 1 && $"size" <= 4)
+      .select(
+        $"lang".as("l_lang"), ($"size" + 1).as("l_size"),
+        $"ngram".as("l_ngram"), $"count".as("l_count")
+      )
+
+    val withPrefix = counts
+      .filter($"size" >= 2)
+      .withColumn("prefix", expr("substring(ngram, 1, size - 1)"))
+      .join(lower, $"lang" === $"l_lang" && $"size" === $"l_size" && $"prefix" === $"l_ngram")
+      .select($"lang", $"size", $"ngram", $"count", $"l_count".as("prefix_count"))
+
+    val withBoth = withPrefix
+      .withColumn("suffix", expr("substring(ngram, 2, size - 1)"))
+      .join(lower, $"lang" === $"l_lang" && $"size" === $"l_size" && $"suffix" === $"l_ngram")
+      .select(
+        $"lang", $"size", $"ngram",
+        log($"count" / least($"prefix_count", $"l_count")).as("logprob")
+      )
+
+    uniAndWord.unionByName(withBoth)
+  }
+}
