@@ -111,12 +111,21 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   private var stamp = 0
   private val seen = new LongSeenSet(256)
 
+  /** Diagnostics from the LAST probabilitiesExtra call (valid until the next
+    * call): distinct n-grams probed and per-language hit counts. Used by the
+    * pipeline's model-coverage (OOV) gate.
+    */
+  private var probedCount = 0
+  def lastProbedCount: Int = probedCount
+  def lastHitCount(langId: Int): Int = cnts(langId)
+
   /** `probabilities` of the reference (src/detector/mod.rs:230-320):
     * sorted (prob desc, lang ordinal asc); 0.0 for the single-candidate
     * shortcut; also returns the words for the reorder formula.
     */
   def probabilitiesExtra(text: String): (ArrayBuffer[Scored], ArrayBuffer[Tokenizer.Word]) = {
     val empty = (ArrayBuffer.empty[Scored], ArrayBuffer.empty[Tokenizer.Word])
+    probedCount = 0 // reset up-front: early-return paths must not leak stale diagnostics
     if (text.isEmpty) return empty
 
     val pre = Tokenizer.prefilter(text)
@@ -154,7 +163,10 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
         var start = 0
         while (start + n <= cps.length) {
           val key = NgramHash.ofWindow(cps, start, n)
-          if (seen.add(key)) probeNgram(table, key, cands, model.charFloors, perLangFloor = true)
+          if (seen.add(key)) {
+            probedCount += 1
+            probeNgram(table, key, cands, model.charFloors, perLangFloor = true)
+          }
           start += 1
         }
         wi += 1
@@ -168,6 +180,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       while (wi < words.length) {
         val cps = words(wi).cps
         val key = NgramHash.ofWindow(cps, 0, cps.length)
+        probedCount += 1
         probeNgram(model.wordTable, key, cands, null, perLangFloor = false)
         wi += 1
       }

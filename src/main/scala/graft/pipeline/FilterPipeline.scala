@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import graft.lang.{Detector, DetectorConfig, PackedModel, ScriptLang}
+import graft.train.FixtureCorpus
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The web-scale quality-filter pipeline (BASELINE.json north_star):
+  * Common-Crawl-style pages → language-ID (broadcast langram-equivalent
+  * model inside ONE fused typed partition map, which also computes the
+  * perplexity proxy, heuristic quality features, and the PII/toxicity
+  * scrub) → cross-row host-window dedup rule → keep/drop gate.
+  *
+  * Scale choices (SURVEY.md §4):
+  *  - `html` is never read on this path (column pruning reaches the scan);
+  *  - the model is a broadcast variable, not a join;
+  *  - input is salted-repartitioned on hash(url, salt) to break host/domain
+  *    skew before the expensive map;
+  *  - the only shuffle after the map is the host-window dedup, keyed by
+  *    (host, text_hash) — bounded by duplicate-group size.
+  */
+object FilterPipeline {
+
+  /** Deterministic extraction inverse of PagesGen.wrapHtml. The per-row
+    * invariant "byte-identical extracted text per url" is tested against
+    * the `text` column (input_hint).
+    */
+  def extractText(html: Array[Byte]): String = {
+    val s = new String(html, "UTF-8")
+    val start = s.indexOf("<p>")
+    val end = s.lastIndexOf("</p>")
+    if (start < 0 || end < 0 || end < start) "" else s.substring(start + 3, end)
+  }
+
+  final case class Gates(
+      minConfidence: Double = 0.5,
+      maxPerplexity: Double = 1e4,
+      minWords: Int = 20,
+      maxRepetitionRatio: Double = 0.3,
+      /** fraction of probed n-grams that hit the model for the detected
+        * language — the OOV/perplexity-style gate that catches gibberish
+        * whose n-grams are simply absent from every model (absent n-grams
+        * carry no floor penalty, reference: src/detector/mod.rs:110-113).
+        */
+      minCoverage: Double = 0.2
+  )
+
+  val toxicityRe = "\\b(idiot|stupid|moron|scum)\\b"
+
+  /** Per-document result of the fused map. */
+  final case class DocResult(
+      url: String, warc_ts: java.sql.Timestamp, host: String,
+      lang: String, confidence: Double, perplexity: Double, coverage: Double,
+      word_count: Int, repetition_ratio: Double, avg_word_len: Double,
+      text_hash: Long, scrubbed_text: String)
+
+  /** The fused per-document kernel: ONE pass computes language + confidence
+    * + perplexity proxy (exp(−mean log-prob) of the top candidate —
+    * the langram score IS an n-gram LM) + quality features + scrub.
+    * Detector scratch buffers are reused across the partition.
+    */
+  def processPartition(
+      model: PackedModel,
+      config: DetectorConfig,
+      it: Iterator[(String, java.sql.Timestamp, String)]
+  ): Iterator[DocResult] = {
+    val det = new Detector(model, config)
+    it.map { case (url, ts, text) =>
+      val (probs, words) = det.probabilitiesExtra(text)
+      // language + confidence: reordered pick + softmax relative probability
+      var lang = "und"
+      var conf = 0.0
+      var perplexity = Double.MaxValue
+      var coverage = 0.0
+      if (probs.nonEmpty) {
+        var bytes = 0L
+        var i = 0
+        while (i < words.length) { bytes += words(i).utf8Bytes; i += 1 }
+        val denomR = bytes + words.length.toLong * words.length * words.length - 1
+        val d = if (denomR <= 0) 0.0 else 1.35 / denomR.toDouble
+        val reorderProb = probs(0).prob - d
+        var lim = probs.indexWhere(_.prob < reorderProb)
+        if (lim == -1) lim = probs.length
+        var best = probs(0).langId
+        i = 1
+        while (i < lim) { if (probs(i).langId < best) best = probs(i).langId; i += 1 }
+        lang = ScriptLang.code(best)
+        // softmax (same special cases as Detector.relativize)
+        val first = probs(0).prob
+        if (first == 0.0) {
+          val zeros = probs.count(_.prob == 0.0)
+          conf = 1.0 / zeros
+        } else if (first == Double.NegativeInfinity) {
+          conf = 1.0 / probs.length
+        } else {
+          var denom = 0.0
+          probs.foreach(s => denom += math.exp(s.prob))
+          val bestP = probs.find(_.langId == best).map(_.prob).getOrElse(first)
+          conf = if (denom == 0.0) { if (best == probs(0).langId) 1.0 else 0.0 }
+                 else math.exp(bestP) / denom
+        }
+        perplexity =
+          if (first == Double.NegativeInfinity) Double.MaxValue
+          else math.exp(-first)
+        coverage =
+          if (det.lastProbedCount == 0) {
+            // no model probes at all: single-candidate shortcut (full trust)
+            // distinguishable from "no words survived" by first == 0.0
+            if (first == 0.0) 1.0 else 0.0
+          } else det.lastHitCount(best).toDouble / det.lastProbedCount
+      }
+
+      // quality features over the tokenized words (single tokenize pass is
+      // shared with the detector via probabilitiesExtra's words)
+      val wc = words.length
+      var charSum = 0L
+      val freq = new scala.collection.mutable.HashMap[String, Int]()
+      var maxFreq = 0
+      var i = 0
+      while (i < wc) {
+        charSum += words(i).length
+        val w = words(i).toString
+        val c = freq.getOrElse(w, 0) + 1
+        freq(w) = c
+        if (c > maxFreq) maxFreq = c
+        i += 1
+      }
+      val repRatio = if (wc == 0) 1.0 else maxFreq.toDouble / wc
+      val avgLen = if (wc == 0) 0.0 else charSum.toDouble / wc
+
+      // PII + toxicity scrub (north_star regex scrubber)
+      val scrubbed = text
+        .replaceAll(graft.operators.TextOps.emailRe, "<EMAIL>")
+        .replaceAll(graft.operators.TextOps.ipRe, "<IP>")
+        .replaceAll(graft.operators.TextOps.phoneRe, "<PHONE>")
+        .replaceAll(toxicityRe, "<TOX>")
+
+      val host = url.stripPrefix("https://").stripPrefix("http://").takeWhile(_ != '/')
+
+      DocResult(
+        url, ts, host, lang, conf, perplexity, coverage, wc, repRatio, avgLen,
+        graft.lang.NgramHash.ofString(text), scrubbed)
+    }
+  }
+
+  /** Run the pipeline over a pages DataFrame. Output adds `keep` and
+    * `drop_reason`.
+    *
+    * @param salt      salt buckets for the skew-defeating repartition
+    * @param partitions target parallelism for the fused map
+    */
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      model: Broadcast[PackedModel],
+      gates: Gates = Gates(),
+      partitions: Int = 0
+  ): DataFrame = {
+    import spark.implicits._
+
+    val config = DetectorConfig.default.copy(
+      languages = PagesGen.pipelineLangs.map(ScriptLang.id).toSet)
+
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // salted repartition on hash(url, salt): a hot host's pages spread
+    // uniformly instead of landing in one task (north_star skew handling)
+    val spread = pages
+      .select($"url", $"warc_ts", $"text")
+      .repartition(nPart, hash($"url", lit(0x5eed)))
+
+    val mapped = spread
+      .as[(String, java.sql.Timestamp, String)]
+      .mapPartitions(it => processPartition(model.value, config, it))
+      .toDF()
+
+    // cross-row rule: host-scoped exact-dup window — first (by warc_ts, url)
+    // copy survives, later copies drop (repetition of whole documents)
+    val w = Window.partitionBy($"host", $"text_hash").orderBy($"warc_ts", $"url")
+    val withDup = mapped.withColumn("dup_rank", row_number().over(w))
+
+    withDup
+      .withColumn(
+        "drop_reason",
+        when($"dup_rank" > 1, "dup")
+          .when($"word_count" < gates.minWords, "too_short")
+          .when($"repetition_ratio" > gates.maxRepetitionRatio, "repetition")
+          .when($"confidence" < gates.minConfidence, "low_confidence")
+          .when($"coverage" < gates.minCoverage, "low_coverage")
+          .when($"perplexity" > gates.maxPerplexity, "high_perplexity")
+          .otherwise(lit(null).cast("string"))
+      )
+      .withColumn("keep", $"drop_reason".isNull)
+      .drop("dup_rank")
+  }
+
+  /** Convenience: pipeline over a freshly generated corpus with the fixture
+    * model — used by SparkEntry and the bench.
+    */
+  def runGenerated(spark: SparkSession, n: Int): DataFrame = {
+    val bc = graft.operators.LangOps.broadcastModel(spark)
+    run(spark, PagesGen.pagesDf(spark, n), bc)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import graft.operators.LangOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** North-rule gates: keep/drop F1 ≥ 0.99 vs the generator's reference
+  * labels, exact scrubbed text, byte-identical extracted text per url, and
+  * checkpoint-resume (BASELINE.json, FIXTURES.md F4).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val N = 2000
+
+  private lazy val result = {
+    val bc = LangOps.broadcastModel(spark)
+    FilterPipeline.run(spark, PagesGen.pagesDf(spark, N), bc).cache()
+  }
+  private lazy val labels = PagesGen.labelsDf(spark, N)
+
+  test("keep/drop F1 >= 0.99 vs reference labels") {
+    val joined = result.select(col("url"), col("keep"))
+      .join(labels.select(col("url"), col("ref_keep"), col("ref_defect")), "url")
+      .cache()
+    assert(joined.count() == N.toLong)
+    val tp = joined.filter(col("keep") && col("ref_keep")).count().toDouble
+    val fp = joined.filter(col("keep") && !col("ref_keep")).count().toDouble
+    val fn = joined.filter(!col("keep") && col("ref_keep")).count().toDouble
+    val precision = tp / (tp + fp)
+    val recall = tp / (tp + fn)
+    val f1 = 2 * precision * recall / (precision + recall)
+    val mism = joined.filter(col("keep") =!= col("ref_keep"))
+      .groupBy(col("ref_defect"), col("keep")).count().collect()
+    info(s"precision=$precision recall=$recall f1=$f1 mismatches=${mism.mkString(";")}")
+    assert(f1 >= 0.99, s"F1 $f1 below target; mismatch profile: ${mism.mkString("; ")}")
+    joined.unpersist()
+  }
+
+  test("scrubbed text matches the reference scrub exactly") {
+    val joined = result.select(col("url"), col("scrubbed_text"))
+      .join(labels.filter(col("ref_defect") =!= "dup_copy")
+        .select(col("url"), col("ref_scrubbed_text")), "url")
+    val bad = joined.filter(col("scrubbed_text") =!= col("ref_scrubbed_text"))
+    val n = bad.count()
+    if (n > 0) info("example mismatch: " + bad.head().toString)
+    assert(n == 0, s"$n scrub mismatches")
+  }
+
+  test("per-row invariant: byte-identical extracted text per url") {
+    import spark.implicits._
+    val pages = PagesGen.pagesDf(spark, 500)
+    val bad = pages.select($"url", $"html", $"text")
+      .as[(String, Array[Byte], String)]
+      .map { case (url, html, text) =>
+        (url, FilterPipeline.extractText(html) == text)
+      }
+      .filter(!_._2)
+      .count()
+    assert(bad == 0L, s"$bad pages where extractText(html) != text")
+  }
+
+  test("detected language matches generator lang on kept pages (>= 99%)") {
+    val joined = result.filter(col("keep"))
+      .select(col("url"), col("lang"))
+      .join(labels.select(col("url"), col("ref_lang")), "url")
+    val total = joined.count().toDouble
+    val ok = joined.filter(col("lang") === col("ref_lang")).count().toDouble
+    info(s"lang accuracy on kept pages: ${ok / total} ($ok/$total)")
+    assert(ok / total >= 0.99)
+  }
+
+  test("checkpoint-resume: second run processes only missing partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val pagesPath = s"$tmp/pages"
+    val outRoot = s"$tmp/out"
+    PagesGen.writePartitioned(spark, 600, pagesPath)
+    val bc = LangOps.broadcastModel(spark)
+
+    // first run: only two of the three day-partitions visible
+    import spark.implicits._
+    val allParts = spark.read.parquet(pagesPath)
+      .select($"p_date").distinct().as[String].collect().sorted
+    assert(allParts.length == 3, s"expected 3 day partitions, got ${allParts.toSeq}")
+
+    // simulate partial availability by copying two partitions
+    val partialPath = s"$tmp/pages_partial"
+    spark.read.parquet(pagesPath)
+      .filter($"p_date" =!= allParts.last)
+      .write.partitionBy("p_date").parquet(partialPath)
+
+    val run1 = SnapshotStore.runResumable(spark, partialPath, outRoot, bc)
+    assert(run1.sorted == allParts.dropRight(1).toSeq)
+
+    // second run over the full table: resumes, processes ONLY the last day
+    val run2 = SnapshotStore.runResumable(spark, pagesPath, outRoot, bc)
+    assert(run2 == Seq(allParts.last), s"expected resume to process only ${allParts.last}, got $run2")
+
+    // third run: nothing to do
+    val run3 = SnapshotStore.runResumable(spark, pagesPath, outRoot, bc)
+    assert(run3.isEmpty)
+
+    // lineage: manifest rows match the data
+    val store = new SnapshotStore(outRoot)
+    assert(store.committedPartitions() == allParts.toSet)
+    val outRows = spark.read.parquet(s"$outRoot/data").count()
+    assert(outRows == 600L)
+  }
+}
