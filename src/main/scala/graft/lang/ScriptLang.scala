@@ -125,6 +125,43 @@ object ScriptLang {
     Character.UnicodeScript.of(cp).name
 
   // Membership tables, precomputed for the hot loop ------------------------
+  // The registry has ≤ 64 languages, so per-code-point membership is ONE
+  // Long bitmask (bit i = language id i belongs). A direct BMP table
+  // (65536 longs, 512 KB, built once per JVM) makes the per-char prefilter
+  // a single array load — the Spark-scale answer to calling
+  // Character.UnicodeScript + Set.contains per char per language.
+
+  require(count <= 64, "language bitmask requires <= 64 languages")
+
+  private def computeMask(cp: Int): Long = {
+    var mask = 0L
+    val script = scriptOf(cp)
+    var i = 0
+    while (i < count) {
+      val l = all(i)
+      val member =
+        if (l.alphabet.nonEmpty) l.alphabet.contains(cp)
+        else l.scripts.contains(script)
+      if (member) mask |= (1L << i)
+      i += 1
+    }
+    mask
+  }
+
+  private lazy val bmpMask: Array[Long] = {
+    val t = new Array[Long](0x10000)
+    var cp = 0
+    while (cp < 0x10000) {
+      if (!Character.isSurrogate(cp.toChar) && Character.isLetter(cp))
+        t(cp) = computeMask(cp)
+      cp += 1
+    }
+    t
+  }
+
+  /** Language-membership bitmask of a code point. */
+  @inline def maskOf(cp: Int): Long =
+    if (cp < 0x10000) bmpMask(cp) else computeMask(cp)
 
   /** True iff code point `cp` belongs to language `langId`'s orthography:
     * explicit-alphabet langs check the alphabet set; script-only langs check
@@ -132,26 +169,19 @@ object ScriptLang {
     * semantics as used at reference: train/src/writer.rs:47-52 and
     * src/detector/mod.rs:235.
     */
-  def belongs(langId: Int, cp: Int): Boolean = {
-    val l = all(langId)
-    if (l.alphabet.nonEmpty) l.alphabet.contains(cp)
-    else l.scripts.contains(scriptOf(cp))
-  }
+  def belongs(langId: Int, cp: Int): Boolean =
+    ((maskOf(cp) >>> langId) & 1L) == 1L
 
-  /** All languages a code point can belong to (for the prefilter). */
+  /** All languages a code point can belong to (for tests/diagnostics). */
   def langsOfCp(cp: Int): Array[Int] = {
-    val script = scriptOf(cp)
-    val candidates = langsOfScript(script)
-    if (candidates.isEmpty) Array.emptyIntArray
-    else {
-      val out = new scala.collection.mutable.ArrayBuffer[Int](candidates.length)
-      var i = 0
-      while (i < candidates.length) {
-        val l = all(candidates(i))
-        if (l.alphabet.isEmpty || l.alphabet.contains(cp)) out += candidates(i)
-        i += 1
-      }
-      out.toArray
+    var mask = maskOf(cp)
+    val out = new Array[Int](java.lang.Long.bitCount(mask))
+    var i = 0
+    while (mask != 0L) {
+      out(i) = java.lang.Long.numberOfTrailingZeros(mask)
+      mask &= mask - 1
+      i += 1
     }
+    out
   }
 }

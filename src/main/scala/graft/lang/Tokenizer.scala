@@ -82,9 +82,12 @@ object Tokenizer {
       val cpsArr = ws(w).cps
       var i = 0
       while (i < cpsArr.length) {
-        val langs = ScriptLang.langsOfCp(cpsArr(i))
-        var j = 0
-        while (j < langs.length) { counts(langs(j)) += 1; j += 1 }
+        // one bitmask load per char; iterate only the set bits
+        var mask = ScriptLang.maskOf(cpsArr(i))
+        while (mask != 0L) {
+          counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
+          mask &= mask - 1
+        }
         i += 1
       }
       w += 1

@@ -49,12 +49,74 @@ object FilterPipeline {
 
   val toxicityRe = "\\b(idiot|stupid|moron|scum)\\b"
 
+  // Precompiled once per JVM: compiling per document was the dominant cost
+  // of the scrub stage (java.util.regex.Pattern.compile per call).
+  @transient private lazy val emailP = java.util.regex.Pattern.compile(graft.operators.TextOps.emailRe)
+  @transient private lazy val ipP = java.util.regex.Pattern.compile(graft.operators.TextOps.ipRe)
+  @transient private lazy val phoneP = java.util.regex.Pattern.compile(graft.operators.TextOps.phoneRe)
+  @transient private lazy val toxP = java.util.regex.Pattern.compile(toxicityRe)
+
+  def scrub(text: String): String = {
+    // fast path: the regex engine only runs when a trigger char is present
+    var out = text
+    if (out.indexOf('@') >= 0) out = emailP.matcher(out).replaceAll("<EMAIL>")
+    var hasDigit = false
+    var i = 0
+    while (i < out.length && !hasDigit) {
+      val c = out.charAt(i); if (c >= '0' && c <= '9') hasDigit = true; i += 1
+    }
+    if (hasDigit) {
+      out = ipP.matcher(out).replaceAll("<IP>")
+      out = phoneP.matcher(out).replaceAll("<PHONE>")
+    }
+    toxP.matcher(out).replaceAll("<TOX>")
+  }
+
   /** Per-document result of the fused map. */
   final case class DocResult(
       url: String, warc_ts: java.sql.Timestamp, host: String,
       lang: String, confidence: Double, perplexity: Double, coverage: Double,
       word_count: Int, repetition_ratio: Double, avg_word_len: Double,
       text_hash: Long, scrubbed_text: String)
+
+  /** Primitive open-addressing Long→count map, reused across a partition —
+    * word-frequency without boxing.
+    */
+  private final class LongIntCounter(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2)
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Int](cap)
+    private var n = 0
+    def clear(): Unit = { java.util.Arrays.fill(keys, 0L); n = 0 }
+    def increment(key0: Long): Int = {
+      val key = if (key0 == 0L) graft.lang.NgramHash.ZeroRemap else key0
+      var h = key
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var i = (h ^ (h >>> 31)).toInt & (cap - 1)
+      while (keys(i) != 0L && keys(i) != key) i = (i + 1) & (cap - 1)
+      if (keys(i) == 0L) { keys(i) = key; vals(i) = 0; n += 1; if (n * 2 > cap) { grow(); return increment(key0) } }
+      vals(i) += 1
+      vals(i)
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Int](cap); n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) {
+          var h = ok(i)
+          h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+          h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+          var j = (h ^ (h >>> 31)).toInt & (cap - 1)
+          while (keys(j) != 0L) j = (j + 1) & (cap - 1)
+          keys(j) = ok(i); vals(j) = ov(i); n += 1
+        }
+        i += 1
+      }
+    }
+  }
 
   /** The fused per-document kernel: ONE pass computes language + confidence
     * + perplexity proxy (exp(−mean log-prob) of the top candidate —
@@ -67,6 +129,7 @@ object FilterPipeline {
       it: Iterator[(String, java.sql.Timestamp, String)]
   ): Iterator[DocResult] = {
     val det = new Detector(model, config)
+    val wordFreq = new LongIntCounter(512)
     it.map { case (url, ts, text) =>
       val (probs, words) = det.probabilitiesExtra(text)
       // language + confidence: reordered pick + softmax relative probability
@@ -113,17 +176,17 @@ object FilterPipeline {
       }
 
       // quality features over the tokenized words (single tokenize pass is
-      // shared with the detector via probabilitiesExtra's words)
+      // shared with the detector via probabilitiesExtra's words); word
+      // frequency counted on 64-bit word hashes — no String allocation
       val wc = words.length
       var charSum = 0L
-      val freq = new scala.collection.mutable.HashMap[String, Int]()
+      wordFreq.clear()
       var maxFreq = 0
       var i = 0
       while (i < wc) {
-        charSum += words(i).length
-        val w = words(i).toString
-        val c = freq.getOrElse(w, 0) + 1
-        freq(w) = c
+        val cps = words(i).cps
+        charSum += cps.length
+        val c = wordFreq.increment(graft.lang.NgramHash.ofWindow(cps, 0, cps.length))
         if (c > maxFreq) maxFreq = c
         i += 1
       }
@@ -131,11 +194,7 @@ object FilterPipeline {
       val avgLen = if (wc == 0) 0.0 else charSum.toDouble / wc
 
       // PII + toxicity scrub (north_star regex scrubber)
-      val scrubbed = text
-        .replaceAll(graft.operators.TextOps.emailRe, "<EMAIL>")
-        .replaceAll(graft.operators.TextOps.ipRe, "<IP>")
-        .replaceAll(graft.operators.TextOps.phoneRe, "<PHONE>")
-        .replaceAll(toxicityRe, "<TOX>")
+      val scrubbed = scrub(text)
 
       val host = url.stripPrefix("https://").stripPrefix("http://").takeWhile(_ != '/')
 

@@ -155,28 +155,45 @@ object PagesGen {
     )
   }
 
-  /** Materialize n pages + labels, resolving dup_copy references. */
-  def generate(n: Int, nHosts: Int = 24): (Vector[Page], Vector[PageLabel]) = {
-    val raw = Vector.tabulate(n)(i => genOne(i.toLong, nHosts))
-    val pages = raw.map(_._1).toArray
-    val labels = raw.map(_._2).toArray
-    raw.zipWithIndex.foreach { case ((p, _, dupOf), i) =>
-      dupOf.foreach { srcIdx =>
-        // read the RESOLVED source (srcIdx < i, so already finalized): a dup
-        // of a dup copies the transitively-resolved text
-        val srcPage = pages(srcIdx.toInt)
-        val srcLabel = labels(srcIdx.toInt)
+  /** Resolve one page index to its final (page, label), following dup_copy
+    * chains iteratively (each hop strictly decreases the index). Pure
+    * function of (idx, nHosts) — safe to call from any executor, so the
+    * corpus can be generated DISTRIBUTED with identical results.
+    */
+  def resolve(idx: Long, nHosts: Int): (Page, PageLabel) = {
+    val (p0, l0, dup0) = genOne(idx, nHosts)
+    dup0 match {
+      case None => (p0, l0)
+      case Some(src0) =>
+        // recursion strictly decreases the index; expected chain length ~1
+        val (resolvedSrc, resolvedLabel) = resolve(src0, nHosts)
         // same-host duplicate: copy source text/html, keep this page's url;
         // force ts strictly later than the source so "first wins" is stable
         val laterTs = new java.sql.Timestamp(
-          math.max(p.warc_ts.getTime, srcPage.warc_ts.getTime + 1000))
-        val srcHost = srcPage.url.stripPrefix("https://").takeWhile(_ != '/')
-        val url = s"https://$srcHost/p$i"
-        pages(i) = Page(url, laterTs, srcPage.html.clone(), srcPage.text, srcPage.lang)
-        labels(i) = PageLabel(url, srcLabel.ref_lang, ref_keep = false, "dup_copy", srcLabel.ref_scrubbed_text)
-      }
+          math.max(p0.warc_ts.getTime, resolvedSrc.warc_ts.getTime + 1000))
+        val srcHost = resolvedSrc.url.stripPrefix("https://").takeWhile(_ != '/')
+        val url = s"https://$srcHost/p$idx"
+        (
+          Page(url, laterTs, resolvedSrc.html.clone(), resolvedSrc.text, resolvedSrc.lang),
+          PageLabel(url, resolvedLabel.ref_lang, ref_keep = false, "dup_copy",
+            resolvedLabel.ref_scrubbed_text)
+        )
     }
-    (pages.toVector, labels.toVector)
+  }
+
+  /** Materialize n pages + labels on the driver. */
+  def generate(n: Int, nHosts: Int = 24): (Vector[Page], Vector[PageLabel]) = {
+    val resolved = Vector.tabulate(n)(i => resolve(i.toLong, nHosts))
+    (resolved.map(_._1), resolved.map(_._2))
+  }
+
+  /** Distributed generation: `spark.range(n)` → per-partition resolve. The
+    * corpus never exists on the driver — this is how the bench scales the
+    * input without I/O bottlenecks.
+    */
+  def pagesDfDistributed(spark: SparkSession, n: Long, nHosts: Int = 24): DataFrame = {
+    import spark.implicits._
+    spark.range(n).mapPartitions(_.map(i => resolve(i, nHosts)._1)).toDF()
   }
 
   def pagesDf(spark: SparkSession, n: Int, nHosts: Int = 24): DataFrame = {

