@@ -79,6 +79,9 @@ object Bench {
       t
     }
 
+    // criterion-shaped detector micro-bench (single-threaded, F6 groups)
+    val micro = BenchSentences.run()
+
     val tLow = pipelineRun(lowCpus)
     val tHigh = pipelineRun(cpus)
     val tpLow = benchPages / tLow
@@ -90,10 +93,14 @@ object Bench {
 
     val total = queryTimes.values.filter(_ >= 0).sum
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val microJson = micro.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 10.0) / 10.0 }
+      .mkString("{", ",", "}")
     val extras =
       s""""docs_per_sec":${math.round(tpHigh)},"docs_per_sec_low":${math.round(tpLow)},""" +
       s""""scaling_efficiency":${math.round(eff * 1000.0) / 1000.0},""" +
-      s""""parallelism":[$lowCpus,$cpus],"bench_pages":$benchPages"""
+      s""""parallelism":[$lowCpus,$cpus],"bench_pages":$benchPages,""" +
+      s""""detector_micro":$microJson"""
     println(
       s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec",""" +
       s""""queries":$qs,$extras,"sf":"$sfDir"}""")
@@ -114,6 +121,13 @@ object Bench {
          |
          |**Scaling efficiency (${lowCpus}→$cpus cores): ${f"$eff%.3f"}**
          |(target ≥ 0.8; efficiency = tp_high / (tp_low × ${cpus / lowCpus}))
+         |
+         |Detector micro-bench (reference criterion structure: µs per
+         |12-sentence batch, single thread, median of 200):
+         |
+         || group | µs/batch |
+         || --- | --- |
+         |${micro.toSeq.sortBy(_._1).map { case (k, v) => s"| $k | ${math.round(v * 10.0) / 10.0} |" }.mkString("\n")}
          |
          |Operator query times at `$sfDir`, local[$cpus], noop sink:
          |

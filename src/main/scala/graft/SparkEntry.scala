@@ -46,7 +46,19 @@ object SparkEntry {
     // similarity search / multimodal plumbing
     "q20_ann_brute_force" -> ((s: SparkSession, d: String) => Similarity.q20AnnBruteForce(s, d)),
     "q26_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.q26LshAnn(s, d)),
-    "q27_multimodal_features" -> (Similarity.q27MultimodalFeatures _)
+    "q27_multimodal_features" -> (Similarity.q27MultimodalFeatures _),
+    // the full quality-filter pipeline over a generated pages corpus
+    "q28_pipeline_filter" -> ((s: SparkSession, _: String) =>
+      graft.pipeline.FilterPipeline.runGenerated(s, 3000)),
+    // distributed trainer: corpus -> model rows (groupBy-count + self-joins)
+    "q29_spark_trainer" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val corpus = graft.train.FixtureCorpus
+        .corpus(nLinesPerLang = 100, langs = Seq("eng", "deu", "fra", "spa"))
+        .flatMap { case (lang, lines) => lines.map(l => (lang, l)) }
+        .toDF("lang", "line")
+      graft.train.Trainer.trainSpark(s, corpus)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
