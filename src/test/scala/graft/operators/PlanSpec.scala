@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale-critical plan properties must hold
+  * structurally, not by luck — filter/column pushdown into the parquet
+  * scan, broadcast joins for small dims, TakeOrdered for top-k,
+  * whole-stage codegen on the hot aggregation path, and no `html` column
+  * on the pipeline read path.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan(Relational.q02FilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p)
+    // pruned read schema: no returnflag/linestatus columns read
+    assert(!p.contains("l_returnflag"), "scan should not read l_returnflag\n" + p)
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan(Relational.q03BroadcastJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q05: global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.q05TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen with partial agg") {
+    val df = Relational.q01PricingSummary(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen wrapping is visible
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the compact plan string
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("pipeline read path never touches the html column") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    graft.pipeline.PagesGen.pagesDf(spark, 200).write.parquet(s"$tmp/pages")
+    val bc = LangOps.broadcastModel(spark)
+    val out = graft.pipeline.FilterPipeline.run(spark, spark.read.parquet(s"$tmp/pages"), bc)
+    val scans = out.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scans.contains("url"), scans)
+    assert(!scans.contains("html"), "html must be pruned from the scan:\n" + scans)
+  }
+
+  test("q20: ANN corpus side joins against a broadcast query set") {
+    val p = plan(Similarity.q20AnnBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
