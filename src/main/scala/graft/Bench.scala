@@ -42,7 +42,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "200000").toLong
+    // sized so the low-parallelism timed run is O(20 s): short runs are
+    // dominated by fixed per-job overhead and understate scaling
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1600000").toLong
 
     // ---- operator queries at local[cpus] --------------------------------
     val spark = session(cpus)
@@ -73,10 +75,12 @@ object Bench {
       val s = session(k)
       val bc = s.sparkContext.broadcast(graft.train.FixtureCorpus.model)
       // warmup for JIT + code cache
-      exec(FilterPipeline.run(s, s.read.parquet(pagesPath).limit(5000), bc))
-      val t = time(exec(FilterPipeline.run(s, s.read.parquet(pagesPath), bc)))
+      exec(FilterPipeline.run(s, s.read.parquet(pagesPath).limit(20000), bc))
+      // best of two timed runs (JIT/page-cache jitter)
+      val t1 = time(exec(FilterPipeline.run(s, s.read.parquet(pagesPath), bc)))
+      val t2 = time(exec(FilterPipeline.run(s, s.read.parquet(pagesPath), bc)))
       s.stop()
-      t
+      math.min(t1, t2)
     }
 
     // criterion-shaped detector micro-bench (single-threaded, F6 groups)

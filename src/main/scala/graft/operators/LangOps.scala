@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
 object LangOps {
 
   @transient private var cached: Broadcast[PackedModel] = _
+  @transient private var cachedCtx: org.apache.spark.SparkContext = _
 
-  /** Broadcast the deterministic fixture model once per JVM/session. */
+  /** Broadcast the deterministic fixture model once per SparkContext (a
+    * cached broadcast from a stopped context must not be reused).
+    */
   def broadcastModel(spark: SparkSession): Broadcast[PackedModel] = synchronized {
-    if (cached == null || cached.id < 0) {
-      cached = spark.sparkContext.broadcast(FixtureCorpus.model)
+    val ctx = spark.sparkContext
+    if (cached == null || (cachedCtx ne ctx) || ctx.isStopped) {
+      cached = ctx.broadcast(FixtureCorpus.model)
+      cachedCtx = ctx
     }
     cached
   }
@@ -40,6 +45,20 @@ object LangOps {
         }
       }
       .toDF("doc_id", "lang_detected", "confidence")
+  }
+
+  /** Register `detect_lang(text)` for SQL access, returning
+    * STRUCT<lang STRING, confidence DOUBLE> (SURVEY.md §2.2 UDF surface).
+    * The typed-map path (q21LangId) stays the hot path; this is the
+    * SQL-ergonomics wrapper over the same broadcast model.
+    */
+  def registerSql(spark: SparkSession): Unit = {
+    val bc = broadcastModel(spark)
+    val f = org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) ("und", 0.0)
+      else new Detector(bc.value, DetectorConfig.default).detectWithConfidence(text)
+    }
+    spark.udf.register("detect_lang", f)
   }
 
   /** Corpus language profile: detected-language histogram. */
