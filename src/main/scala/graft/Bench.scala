@@ -71,16 +71,39 @@ object Bench {
       .write.mode("overwrite").parquet(pagesPath)
     spark.stop()
 
+    /** One measurement = one FRESH JVM (the sandbox analog of one
+      * spark-submit at that cluster size): no GC/JIT state shared between
+      * parallelism levels, which otherwise dominates the comparison.
+      */
     def pipelineRun(k: Int): Double = {
-      val s = session(k)
-      val bc = s.sparkContext.broadcast(graft.train.FixtureCorpus.model)
-      // warmup for JIT + code cache
-      exec(FilterPipeline.run(s, s.read.parquet(pagesPath).limit(20000), bc))
-      // best of two timed runs (JIT/page-cache jitter)
-      val t1 = time(exec(FilterPipeline.run(s, s.read.parquet(pagesPath), bc)))
-      val t2 = time(exec(FilterPipeline.run(s, s.read.parquet(pagesPath), bc)))
-      s.stop()
-      math.min(t1, t2)
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx$mem", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.BenchPipelineRun", k.toString, pagesPath, "3"
+      )
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.startsWith("RESULT ")) out.append(line)
+        line = reader.readLine()
+      }
+      proc.waitFor()
+      require(out.nonEmpty, s"no RESULT from subprocess at k=$k")
+      out.toString.split(" ")(2).toDouble
     }
 
     // criterion-shaped detector micro-bench (single-threaded, F6 groups)

@@ -139,8 +139,16 @@ final class PackedModel(
     /** langIds that have a trained model (used by fixtures/tests) */
     val modeledLangs: Array[Int],
     /** schema/version hash checked at load (reference: src/bin_storage.rs:18) */
-    val schemaHash: Long
-) extends Serializable
+    val schemaHash: Long,
+    /** per-langId sorted hashes of high-frequency words (wordgram ln-prob ≥
+      * ln(1%)) — the stopword sets the quality rules use, derived from the
+      * model itself rather than hand lists
+      */
+    val stopwordHashes: Array[Array[Long]]
+) extends Serializable {
+  def isStopword(langId: Int, wordHash: Long): Boolean =
+    java.util.Arrays.binarySearch(stopwordHashes(langId), wordHash) >= 0
+}
 
 object PackedModel {
   /** Version hash: registry size + codes, like the reference's
@@ -199,6 +207,18 @@ object PackedModel {
     def toTable(s: Int): ProbTable =
       ProbTable.build(acc(s).iterator.map { case (k, v) => k -> v.toArray }.toMap)
 
+    // stopwords: words with relative frequency >= 1% in a language's
+    // wordgram model
+    val stopThreshold = math.log(0.01)
+    val stopwords = Array.fill(n)(Array.emptyLongArray)
+    models.foreach { case (langId, sizes) =>
+      val hs = sizes(5).collect {
+        case (w, p) if p >= stopThreshold => NgramHash.ofString(w)
+      }.toArray
+      java.util.Arrays.sort(hs)
+      stopwords(langId) = hs
+    }
+
     new PackedModel(
       nLangs = n,
       charFloors = floors,
@@ -206,7 +226,8 @@ object PackedModel {
       charTables = Array(toTable(0), toTable(1), toTable(2), toTable(3), toTable(4)),
       wordTable = toTable(5),
       modeledLangs = models.map(_._1).sorted.toArray,
-      schemaHash = registryHash
+      schemaHash = registryHash,
+      stopwordHashes = stopwords
     )
   }
 }

@@ -77,6 +77,7 @@ object FilterPipeline {
       url: String, warc_ts: java.sql.Timestamp, host: String,
       lang: String, confidence: Double, perplexity: Double, coverage: Double,
       word_count: Int, repetition_ratio: Double, avg_word_len: Double,
+      stopword_ratio: Double, n_lines: Int, max_line_len: Int,
       text_hash: Long, scrubbed_text: String)
 
   /** Primitive open-addressing Long→count map, reused across a partition —
@@ -193,6 +194,38 @@ object FilterPipeline {
       val repRatio = if (wc == 0) 1.0 else maxFreq.toDouble / wc
       val avgLen = if (wc == 0) 0.0 else charSum.toDouble / wc
 
+      // stopword density: fraction of words in the detected language's
+      // model-derived stopword set (wordgram freq >= 1%)
+      var stopwordRatio = 0.0
+      if (lang != "und" && wc > 0) {
+        val lid = ScriptLang.id(lang)
+        if (lid < model.stopwordHashes.length && model.stopwordHashes(lid).nonEmpty) {
+          var stop = 0
+          i = 0
+          while (i < wc) {
+            val cps = words(i).cps
+            if (model.isStopword(lid, graft.lang.NgramHash.ofWindow(cps, 0, cps.length)))
+              stop += 1
+            i += 1
+          }
+          stopwordRatio = stop.toDouble / wc
+        }
+      }
+
+      // line-length stats (north_star heuristic rule family)
+      var nLines = 1
+      var maxLine = 0
+      var lineStart = 0
+      i = 0
+      while (i <= text.length) {
+        if (i == text.length || text.charAt(i) == '\n') {
+          val len = i - lineStart
+          if (len > maxLine) maxLine = len
+          if (i < text.length) { nLines += 1; lineStart = i + 1 }
+        }
+        i += 1
+      }
+
       // PII + toxicity scrub (north_star regex scrubber)
       val scrubbed = scrub(text)
 
@@ -200,6 +233,7 @@ object FilterPipeline {
 
       DocResult(
         url, ts, host, lang, conf, perplexity, coverage, wc, repRatio, avgLen,
+        stopwordRatio, nLines, maxLine,
         graft.lang.NgramHash.ofString(text), scrubbed)
     }
   }

@@ -53,7 +53,9 @@ object PagesGen {
     val sb = new StringBuilder
     var i = 0
     while (i < nWords) {
-      if (i > 0) sb.append(' ')
+      // newline every 10th word (index-based, NOT an rng draw — extra draws
+      // would shift every downstream deterministic label)
+      if (i > 0) sb.append(if (i % 10 == 0) '\n' else ' ')
       // uniform draw: page text samples the full vocabulary (the shared
       // high-rank articles alone do not separate Romance languages)
       sb.append(v(rng.nextInt(v.size)))
