@@ -131,7 +131,18 @@ object FilterPipeline {
   ): Iterator[DocResult] = {
     val det = new Detector(model, config)
     val wordFreq = new LongIntCounter(512)
-    it.map { case (url, ts, text) =>
+    it.map { case (url, ts, text) => processDoc(model, det, wordFreq, url, ts, text) }
+  }
+
+  private def processDoc(
+      model: PackedModel,
+      det: Detector,
+      wordFreq: LongIntCounter,
+      url: String,
+      ts: java.sql.Timestamp,
+      text: String
+  ): DocResult = {
+    {
       val (probs, words) = det.probabilitiesExtra(text)
       // language + confidence: reordered pick + softmax relative probability
       var lang = "und"
@@ -238,45 +249,64 @@ object FilterPipeline {
     }
   }
 
+  /** Skew-defeating repartition on hash(url, salt) — for inputs whose file
+    * layout correlates with host/domain and whose pipeline variant does not
+    * already shuffle on a content key. The default `run` plan needs no
+    * separate salting stage: its single exchange keys on
+    * (host, xxhash64(text)), so a hot host's pages spread uniformly by
+    * content hash.
+    */
+  def saltedRepartition(df: DataFrame, partitions: Int, salt: Int = 0x5eed): DataFrame =
+    df.repartition(partitions, hash(col("url"), lit(salt)))
+
   /** Run the pipeline over a pages DataFrame. Output adds `keep` and
     * `drop_reason`.
     *
-    * @param salt      salt buckets for the skew-defeating repartition
-    * @param partitions target parallelism for the fused map
+    * ONE exchange total: the host-scoped exact-dup window runs FIRST, on the
+    * raw (url, warc_ts, text) rows, keyed by (host, xxhash64(text)) — that
+    * partitioning is simultaneously the skew defense (a hot host's pages
+    * spread uniformly by content hash; see `saltedRepartition` for the
+    * standalone variant) and the dedup co-location. The fused detection +
+    * quality + scrub kernel then runs downstream of the window with no
+    * further shuffle. The earlier two-exchange shape (salted repartition →
+    * kernel → window over the WIDE kernel output) shuffled the scrubbed
+    * text a second time and capped scaling at ~0.5.
     */
   def run(
       spark: SparkSession,
       pages: DataFrame,
       model: Broadcast[PackedModel],
-      gates: Gates = Gates(),
-      partitions: Int = 0
+      gates: Gates = Gates()
   ): DataFrame = {
     import spark.implicits._
 
     val config = DetectorConfig.default.copy(
       languages = PagesGen.pipelineLangs.map(ScriptLang.id).toSet)
 
-    val nPart =
-      if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-
-    // salted repartition on hash(url, salt): a hot host's pages spread
-    // uniformly instead of landing in one task (north_star skew handling)
-    val spread = pages
-      .select($"url", $"warc_ts", $"text")
-      .repartition(nPart, hash($"url", lit(0x5eed)))
-
-    val mapped = spread
-      .as[(String, java.sql.Timestamp, String)]
-      .mapPartitions(it => processPartition(model.value, config, it))
-      .toDF()
-
     // cross-row rule: host-scoped exact-dup window — first (by warc_ts, url)
-    // copy survives, later copies drop (repetition of whole documents)
-    val w = Window.partitionBy($"host", $"text_hash").orderBy($"warc_ts", $"url")
-    val withDup = mapped.withColumn("dup_rank", row_number().over(w))
+    // copy survives, later copies drop (whole-document repetition)
+    val keyed = pages
+      .select($"url", $"warc_ts", $"text")
+      .withColumn("w_host", substring_index(substring_index($"url", "://", -1), "/", 1))
+      .withColumn("w_hash", xxhash64($"text"))
+    val w = Window.partitionBy($"w_host", $"w_hash").orderBy($"warc_ts", $"url")
+    val ranked = keyed
+      .withColumn("dup_rank", row_number().over(w))
+      .select($"url", $"warc_ts", $"text", $"dup_rank")
 
-    withDup
+    val mapped = ranked
+      .as[(String, java.sql.Timestamp, String, Int)]
+      .mapPartitions { it =>
+        val det = new Detector(model.value, config)
+        val wordFreq = new LongIntCounter(512)
+        it.map { case (url, ts, text, dupRank) =>
+          (processDoc(model.value, det, wordFreq, url, ts, text), dupRank)
+        }
+      }
+      .toDF("doc", "dup_rank")
+      .select($"doc.*", $"dup_rank")
+
+    mapped
       .withColumn(
         "drop_reason",
         when($"dup_rank" > 1, "dup")

@@ -59,6 +59,11 @@ class PlanSpec extends AnyFunSuite {
     val scans = out.queryExecution.executedPlan.collectLeaves().mkString("\n")
     assert(scans.contains("url"), scans)
     assert(!scans.contains("html"), "html must be pruned from the scan:\n" + scans)
+    // ONE exchange total: the dedup window's (host, content-hash) shuffle is
+    // also the skew defense; the kernel runs downstream with no shuffle
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).size
+    assert(nExchanges == 1, s"expected exactly 1 exchange, got $nExchanges")
   }
 
   test("q20: ANN corpus side joins against a broadcast query set") {
