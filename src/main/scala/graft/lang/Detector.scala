@@ -111,34 +111,42 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   private var stamp = 0
   private val seen = new LongSeenSet(256)
 
-  /** Diagnostics from the LAST probabilitiesExtra call (valid until the next
-    * call): distinct n-grams probed and per-language hit counts. Used by the
-    * pipeline's model-coverage (OOV) gate.
+  /** Diagnostics from the LAST probabilities call (valid until the next
+    * call): distinct n-grams probed and per-language hit counts (used by the
+    * pipeline's model-coverage gate), and the token buffer (reused across
+    * calls; read it before the next detection).
     */
   private var probedCount = 0
   def lastProbedCount: Int = probedCount
   def lastHitCount(langId: Int): Int = cnts(langId)
+  private val tokBuf = new Tokenizer.TokenBuf
+  private val prefCounts = new Array[Long](ScriptLang.count)
+  private val candBuf = new Array[Int](ScriptLang.count)
+  def tokens: Tokenizer.TokenBuf = tokBuf
 
   /** `probabilities` of the reference (src/detector/mod.rs:230-320):
     * sorted (prob desc, lang ordinal asc); 0.0 for the single-candidate
-    * shortcut; also returns the words for the reorder formula.
+    * shortcut. Tokens stay available in `tokens` for the reorder formula
+    * and the pipeline's quality features — no per-call word allocation.
     */
-  def probabilitiesExtra(text: String): (ArrayBuffer[Scored], ArrayBuffer[Tokenizer.Word]) = {
-    val empty = (ArrayBuffer.empty[Scored], ArrayBuffer.empty[Tokenizer.Word])
+  def probabilities(text: String): ArrayBuffer[Scored] = {
     probedCount = 0 // reset up-front: early-return paths must not leak stale diagnostics
-    if (text.isEmpty) return empty
+    tokBuf.clear()
+    if (text.isEmpty) return ArrayBuffer.empty[Scored]
 
-    val pre = Tokenizer.prefilter(text)
-    val cands = pre.candidates.filter(configured)
-    if (pre.words.isEmpty || cands.isEmpty) return (ArrayBuffer.empty[Scored], pre.words)
-    if (cands.length == 1)
-      return (ArrayBuffer(Scored(cands(0), 0.0)), pre.words)
+    Tokenizer.tokenizeInto(text, tokBuf)
+    val nCand0 = Tokenizer.prefilterInto(tokBuf, prefCounts, candBuf)
+    // intersect with the configured language set, in place
+    var nCand = 0
+    var c = 0
+    while (c < nCand0) {
+      if (configured(candBuf(c))) { candBuf(nCand) = candBuf(c); nCand += 1 }
+      c += 1
+    }
+    if (tokBuf.nWords == 0 || nCand == 0) return ArrayBuffer.empty[Scored]
+    if (nCand == 1) return ArrayBuffer(Scored(candBuf(0), 0.0))
 
-    val words = pre.words
-    var charsCount = 0
-    var w = 0
-    while (w < words.length) { charsCount += words(w).length; w += 1 }
-
+    val charsCount = tokBuf.totalCps
     var sizes =
       if (charsCount < config.longTextMinLen) config.shortSizes else config.longSizes
     val wordgramsEnabled = sizes.nonEmpty && sizes(sizes.length - 1) == 5
@@ -146,26 +154,27 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
 
     // reset accumulators for the candidate set
     var i = 0
-    while (i < cands.length) {
-      val l = cands(i)
+    while (i < nCand) {
+      val l = candBuf(i)
       sums(l) = 0.0; cnts(l) = 0; isCand(l) = true
       i += 1
     }
 
+    val cps = tokBuf.cps
     var s = 0
     while (s < sizes.length) {
       val n = sizes(s) + 1 // window length
       val table = model.charTables(sizes(s))
       seen.clear()
       var wi = 0
-      while (wi < words.length) {
-        val cps = words(wi).cps
-        var start = 0
-        while (start + n <= cps.length) {
+      while (wi < tokBuf.nWords) {
+        var start = tokBuf.start(wi)
+        val stop = tokBuf.end(wi) - n
+        while (start <= stop) {
           val key = NgramHash.ofWindow(cps, start, n)
           if (seen.add(key)) {
             probedCount += 1
-            probeNgram(table, key, cands, model.charFloors, perLangFloor = true)
+            probeNgram(table, key, candBuf, nCand, model.charFloors, perLangFloor = true)
           }
           start += 1
         }
@@ -177,30 +186,28 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     if (wordgramsEnabled) {
       // whole words, NO dedup (reference: src/detector/mod.rs:290-296)
       var wi = 0
-      while (wi < words.length) {
-        val cps = words(wi).cps
-        val key = NgramHash.ofWindow(cps, 0, cps.length)
+      while (wi < tokBuf.nWords) {
+        val key = NgramHash.ofWindow(cps, tokBuf.start(wi), tokBuf.len(wi))
         probedCount += 1
-        probeNgram(model.wordTable, key, cands, null, perLangFloor = false)
+        probeNgram(model.wordTable, key, candBuf, nCand, null, perLangFloor = false)
         wi += 1
       }
     }
 
     // mean log-prob per candidate; cnt==0 → −∞ (src/detector/mod.rs:202-220)
-    val res = new ArrayBuffer[Scored](cands.length)
+    val res = new ArrayBuffer[Scored](nCand)
     i = 0
-    while (i < cands.length) {
-      val l = cands(i)
+    while (i < nCand) {
+      val l = candBuf(i)
       res += Scored(l, if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l))
       isCand(l) = false
       i += 1
     }
     // sort prob desc (total order), lang ordinal asc tiebreak
-    val sorted = res.sortWith { (a, b) =>
-      val c = java.lang.Double.compare(b.prob, a.prob)
-      if (c != 0) c < 0 else a.langId < b.langId
+    res.sortWith { (a, b) =>
+      val cc = java.lang.Double.compare(b.prob, a.prob)
+      if (cc != 0) cc < 0 else a.langId < b.langId
     }
-    (sorted, words)
   }
 
   /** Probe one n-gram and accumulate (reference `ngrams_sum_cnt`,
@@ -212,6 +219,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       table: ProbTable,
       key: Long,
       cands: Array[Int],
+      nCand: Int,
       floors: Array[Double],
       perLangFloor: Boolean
   ): Unit = {
@@ -235,7 +243,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     }
     if (hits == 0) return
     var i = 0
-    while (i < cands.length) {
+    while (i < nCand) {
       val l = cands(i)
       if (hitStamp(l) != stamp) {
         sums(l) += (if (perLangFloor) floors(l) else model.wordgramFloor)
@@ -243,8 +251,6 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       i += 1
     }
   }
-
-  def probabilities(text: String): ArrayBuffer[Scored] = probabilitiesExtra(text)._1
 
   /** Softmax with the reference's special cases
     * (src/detector/mod.rs:467-510): top==0.0 → keep only the zeros, uniform;
@@ -291,19 +297,23 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     else Some(probs(0).langId)
   }
 
-  /** Top-1 with popularity reorder among near-ties
-    * (reference: src/detector/mod.rs:383-431): keep langs with
-    * p ≥ p1 − d, pick the minimum ordinal (= most popular).
+  /** Default reorder distance `1.35 / (utf8_bytes + n_words³ − 1)` over the
+    * LAST call's tokens (reference: src/detector/mod.rs:422-429).
     */
-  def detectTopOneReorderedCustom(
-      text: String,
-      reorderDistance: (ArrayBuffer[Tokenizer.Word]) => Double
-  ): Option[Int] = {
-    val (probs, words) = probabilitiesExtra(text)
-    if (probs.isEmpty) return None
-    val firstProb = probs(0).prob
-    val d = reorderDistance(words)
-    val reorderProb = firstProb - d
+  def defaultReorderDistance: Double = {
+    val bytes = tokBuf.utf8Bytes
+    val nw = tokBuf.nWords.toLong
+    val denom = bytes + nw * nw * nw - 1
+    if (denom <= 0) 0.0 else 1.35 / denom.toDouble
+  }
+
+  /** Popularity reorder among near-ties (reference:
+    * src/detector/mod.rs:383-431): keep langs with p ≥ p1 − d, pick the
+    * minimum ordinal (= most popular). `probs` must come from the latest
+    * `probabilities` call.
+    */
+  def reorderPick(probs: ArrayBuffer[Scored], d: Double): Int = {
+    val reorderProb = probs(0).prob - d
     var lim = probs.indexWhere(_.prob < reorderProb)
     if (lim == -1) lim = probs.length
     var best = probs(0).langId
@@ -312,43 +322,26 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       if (probs(i).langId < best) best = probs(i).langId
       i += 1
     }
-    Some(best)
+    best
   }
 
-  /** Default reorder formula `1.35 / (utf8_bytes + n_words³ − 1)`
-    * (reference: src/detector/mod.rs:422-429).
-    */
-  def detectTopOneReordered(text: String): Option[Int] =
-    detectTopOneReorderedCustom(
-      text,
-      words => {
-        var bytes = 0L
-        var i = 0
-        while (i < words.length) { bytes += words(i).utf8Bytes; i += 1 }
-        1.35 / (bytes + words.length.toLong * words.length * words.length - 1).toDouble
-      }
-    )
+  def detectTopOneReordered(text: String): Option[Int] = {
+    val probs = probabilities(text)
+    if (probs.isEmpty) None else Some(reorderPick(probs, defaultReorderDistance))
+  }
 
-  def detectTopOneRaw(text: String): Option[Int] =
-    detectTopOneReorderedCustom(text, _ => 0.0)
+  def detectTopOneRaw(text: String): Option[Int] = {
+    val probs = probabilities(text)
+    if (probs.isEmpty) None else Some(reorderPick(probs, 0.0))
+  }
 
   /** (langCode, top-1 relative confidence) convenience for pipeline columns.
     * Single detection pass: reordered pick + its softmax relative prob.
     */
   def detectWithConfidence(text: String): (String, Double) = {
-    val (probs, words) = probabilitiesExtra(text)
+    val probs = probabilities(text)
     if (probs.isEmpty) return ("und", 0.0)
-    // reordered pick (src/detector/mod.rs:418-431)
-    var bytes = 0L
-    var i = 0
-    while (i < words.length) { bytes += words(i).utf8Bytes; i += 1 }
-    val d = 1.35 / (bytes + words.length.toLong * words.length * words.length - 1).toDouble
-    val reorderProb = probs(0).prob - d
-    var lim = probs.indexWhere(_.prob < reorderProb)
-    if (lim == -1) lim = probs.length
-    var best = probs(0).langId
-    i = 1
-    while (i < lim) { if (probs(i).langId < best) best = probs(i).langId; i += 1 }
+    val best = reorderPick(probs, defaultReorderDistance)
     // softmax confidence of the pick (src/detector/mod.rs:467-510)
     val rel = relativize(probs)
     val conf = rel.find(_.langId == best).map(_.prob).getOrElse(0.0)

@@ -61,6 +61,99 @@ object Tokenizer {
     out
   }
 
+  /** Reusable flat token buffer: all words' code points in one array with
+    * per-word offsets — the allocation-free variant of `words` used by the
+    * detector hot path (one Detector per partition reuses one buffer).
+    * Word i spans `cps(offs(i)) until cps(offs(i+1))`.
+    */
+  final class TokenBuf {
+    var cps: Array[Int] = new Array[Int](1024)
+    var offs: Array[Int] = new Array[Int](65)
+    var nWords: Int = 0
+    private var cpLen = 0
+
+    def clear(): Unit = { nWords = 0; cpLen = 0; offs(0) = 0 }
+    def totalCps: Int = cpLen
+    @inline def start(i: Int): Int = offs(i)
+    @inline def end(i: Int): Int = offs(i + 1)
+    @inline def len(i: Int): Int = offs(i + 1) - offs(i)
+
+    private[Tokenizer] def addCp(cp: Int): Unit = {
+      if (cpLen == cps.length) cps = java.util.Arrays.copyOf(cps, cps.length * 2)
+      cps(cpLen) = cp
+      cpLen += 1
+    }
+    private[Tokenizer] def endWord(): Unit = {
+      if (offs(nWords) != cpLen) { // non-empty word
+        nWords += 1
+        if (nWords + 1 > offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+        offs(nWords) = cpLen
+      }
+    }
+    /** UTF-8 byte length of all word chars (reorder formula input). */
+    def utf8Bytes: Long = {
+      var n = 0L
+      var i = 0
+      while (i < cpLen) {
+        val c = cps(i)
+        n += (if (c < 0x80) 1 else if (c < 0x800) 2 else if (c < 0x10000) 3 else 4)
+        i += 1
+      }
+      n
+    }
+    def wordString(i: Int): String = new String(cps, start(i), len(i))
+  }
+
+  /** Tokenize into a reusable buffer — no per-word allocation. */
+  def tokenizeInto(text: String, buf: TokenBuf): Unit = {
+    buf.clear()
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (isWordChar(cp)) buf.addCp(Character.toLowerCase(cp))
+      else if (isCombining(cp)) { /* dropped */ }
+      else buf.endWord()
+      i += Character.charCount(cp)
+    }
+    buf.endWord()
+  }
+
+  /** Allocation-free prefilter over a tokenized buffer: fills `counts`
+    * (length ScriptLang.count, cleared here) and returns candidates into
+    * `candOut`, returning the candidate count. Same margin semantics as
+    * `prefilter`.
+    */
+  def prefilterInto(
+      buf: TokenBuf,
+      counts: Array[Long],
+      candOut: Array[Int],
+      marginPercent: Int = 95
+  ): Int = {
+    java.util.Arrays.fill(counts, 0L)
+    var i = 0
+    val n = buf.totalCps
+    while (i < n) {
+      var mask = ScriptLang.maskOf(buf.cps(i))
+      while (mask != 0L) {
+        counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
+        mask &= mask - 1
+      }
+      i += 1
+    }
+    var max = 0L
+    var l = 0
+    while (l < counts.length) { if (counts(l) > max) max = counts(l); l += 1 }
+    if (max == 0L) return 0
+    var out = 0
+    l = 0
+    while (l < counts.length) {
+      if (counts(l) * 100 >= max * marginPercent) { candOut(out) = l; out += 1 }
+      l += 1
+    }
+    out
+  }
+
   /** Result of the fulltext prefilter: the words plus candidate language ids
     * within the margin, sorted ascending by id (= popularity ordinal).
     */

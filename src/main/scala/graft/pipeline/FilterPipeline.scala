@@ -143,24 +143,15 @@ object FilterPipeline {
       text: String
   ): DocResult = {
     {
-      val (probs, words) = det.probabilitiesExtra(text)
+      val probs = det.probabilities(text)
+      val toks = det.tokens // valid until the next det.probabilities call
       // language + confidence: reordered pick + softmax relative probability
       var lang = "und"
       var conf = 0.0
       var perplexity = Double.MaxValue
       var coverage = 0.0
       if (probs.nonEmpty) {
-        var bytes = 0L
-        var i = 0
-        while (i < words.length) { bytes += words(i).utf8Bytes; i += 1 }
-        val denomR = bytes + words.length.toLong * words.length * words.length - 1
-        val d = if (denomR <= 0) 0.0 else 1.35 / denomR.toDouble
-        val reorderProb = probs(0).prob - d
-        var lim = probs.indexWhere(_.prob < reorderProb)
-        if (lim == -1) lim = probs.length
-        var best = probs(0).langId
-        i = 1
-        while (i < lim) { if (probs(i).langId < best) best = probs(i).langId; i += 1 }
+        val best = det.reorderPick(probs, det.defaultReorderDistance)
         lang = ScriptLang.code(best)
         // softmax (same special cases as Detector.relativize)
         val first = probs(0).prob
@@ -187,41 +178,29 @@ object FilterPipeline {
           } else det.lastHitCount(best).toDouble / det.lastProbedCount
       }
 
-      // quality features over the tokenized words (single tokenize pass is
-      // shared with the detector via probabilitiesExtra's words); word
-      // frequency counted on 64-bit word hashes — no String allocation
-      val wc = words.length
-      var charSum = 0L
+      // quality features over the shared token buffer (one tokenize pass,
+      // zero word allocation); word frequency counted on 64-bit word hashes
+      val wc = toks.nWords
+      val charSum = toks.totalCps.toLong
       wordFreq.clear()
       var maxFreq = 0
+      var stop = 0
+      val lid = if (lang == "und") -1 else ScriptLang.id(lang)
+      val hasStops = lid >= 0 && lid < model.stopwordHashes.length &&
+        model.stopwordHashes(lid).nonEmpty
       var i = 0
       while (i < wc) {
-        val cps = words(i).cps
-        charSum += cps.length
-        val c = wordFreq.increment(graft.lang.NgramHash.ofWindow(cps, 0, cps.length))
+        val h = graft.lang.NgramHash.ofWindow(toks.cps, toks.start(i), toks.len(i))
+        val c = wordFreq.increment(h)
         if (c > maxFreq) maxFreq = c
+        if (hasStops && model.isStopword(lid, h)) stop += 1
         i += 1
       }
       val repRatio = if (wc == 0) 1.0 else maxFreq.toDouble / wc
       val avgLen = if (wc == 0) 0.0 else charSum.toDouble / wc
-
       // stopword density: fraction of words in the detected language's
       // model-derived stopword set (wordgram freq >= 1%)
-      var stopwordRatio = 0.0
-      if (lang != "und" && wc > 0) {
-        val lid = ScriptLang.id(lang)
-        if (lid < model.stopwordHashes.length && model.stopwordHashes(lid).nonEmpty) {
-          var stop = 0
-          i = 0
-          while (i < wc) {
-            val cps = words(i).cps
-            if (model.isStopword(lid, graft.lang.NgramHash.ofWindow(cps, 0, cps.length)))
-              stop += 1
-            i += 1
-          }
-          stopwordRatio = stop.toDouble / wc
-        }
-      }
+      val stopwordRatio = if (hasStops && wc > 0) stop.toDouble / wc else 0.0
 
       // line-length stats (north_star heuristic rule family)
       var nLines = 1
