@@ -121,7 +121,7 @@ object Bench {
     // width.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
     val scaleHigh = scaleLow * 4
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "1").toInt
     var tLow = Double.MaxValue
     var tHigh = Double.MaxValue
     (1 to rounds).foreach { _ =>

@@ -33,7 +33,7 @@ object BenchSentences {
   /** Run the 4 criterion groups; returns group → microseconds per
     * 12-sentence batch (median of `reps` runs after warmup).
     */
-  def run(reps: Int = 200): Map[String, Double] = {
+  def run(reps: Int = 60): Map[String, Double] = {
     val model = FixtureCorpus.model
     val allFull = new Detector(model, DetectorConfig.default)
     val allTri = new Detector(model, DetectorConfig.default.maxTrigrams)
@@ -47,7 +47,7 @@ object BenchSentences {
     }
     def timeGroup(d: Detector): Double = {
       var w = 0
-      while (w < 50) { batch(d); w += 1 } // warmup
+      while (w < 20) { batch(d); w += 1 } // warmup
       val times = new Array[Double](reps)
       var r = 0
       while (r < reps) {

@@ -46,6 +46,7 @@ object SparkEntry {
     // similarity search / multimodal plumbing
     "q20_ann_brute_force" -> ((s: SparkSession, d: String) => Similarity.q20AnnBruteForce(s, d)),
     "q26_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.q26LshAnn(s, d)),
+    "q30_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.q30IvfAnn(s, d)),
     "q27_multimodal_features" -> (Similarity.q27MultimodalFeatures _),
     // the full quality-filter pipeline over a generated pages corpus
     "q28_pipeline_filter" -> ((s: SparkSession, _: String) =>

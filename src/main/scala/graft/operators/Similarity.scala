@@ -107,6 +107,84 @@ object Similarity {
       .select($"vec_id", $"rid".as("ann_vec_id"), round($"cos", 6).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: deterministic seed centroids (lowest vec_ids)
+    * → one distributed Lloyd refinement (assign via broadcast centroids,
+    * recompute means with posexplode + groupBy(cid, dim)) → inverted lists
+    * keyed by centroid → queries probe the `nProbe` nearest lists only.
+    * At 100 TB the corpus never moves: one shuffle builds the lists, and a
+    * query touches k/nProbe of the data instead of all of it.
+    */
+  def q30IvfAnn(
+      spark: SparkSession,
+      sfDir: String,
+      kCentroids: Int = 16,
+      nProbe: Int = 4,
+      topK: Int = 5
+  ): DataFrame = {
+    import spark.implicits._
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+    def nearestCid(cents: Array[(Int, Array[Double])], v: Array[Double]): Int = {
+      var bestC = -1
+      var bestD = Double.MaxValue
+      cents.foreach { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; bestC = cid }
+      }
+      bestC
+    }
+
+    // deterministic init: the kCentroids lowest vec_ids
+    val init = emb.filter($"vec_id" < kCentroids)
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id.toInt, v) }
+
+    // one Lloyd step, distributed: assign → per-(cid, dim) mean
+    val bcInit = spark.sparkContext.broadcast(init)
+    val assigned = emb.as[(Long, Array[Double])]
+      .map { case (id, v) => (nearestCid(bcInit.value, v), id, v) }
+      .toDF("cid", "vec_id", "v")
+    val refined = assigned
+      .select($"cid", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"cid", $"dim")
+      .agg(avg($"x").as("x"))
+      .groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"dim", $"x"))).as("pairs"))
+      .select($"cid", expr("transform(pairs, p -> p.x)").as("c"))
+      .as[(Int, Array[Double])].collect()
+
+    // inverted lists under the refined centroids
+    val bcCents = spark.sparkContext.broadcast(refined)
+    val lists = emb.as[(Long, Array[Double])]
+      .map { case (id, v) => (nearestCid(bcCents.value, v), id, v) }
+      .toDF("cid", "vec_id", "v")
+
+    // queries probe their nProbe nearest centroids
+    val probes = emb.filter($"vec_id" < 10)
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val byDist = bcCents.value.map { case (cid, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          (d, cid)
+        }.sortBy(_._1).take(nProbe)
+        byDist.iterator.map { case (_, cid) => (id, cid, v) }
+      }
+      .toDF("query_id", "cid", "qv")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(lists, probes("cid") === lists("cid") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), cosineCol(col("qv"), col("v")).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Multimodal column plumbing (driver-spec addition): treat opaque binary
     * payloads with typed metadata, run a batched "decode + featurize" over
     * partitions. The real image/audio decode is STUBBED with a
