@@ -23,6 +23,10 @@ object BenchPipelineRun {
       // post-shuffle kernel stage to ~1/3 of the cores; parallelism first
       // keeps the reduce stage at cluster width (measured 0.5 → 0.76+ eff)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // shuffle lives on tmpfs here (see Bench's -Dspark.local.dir):
+      // lz4 on a RAM disk is pure CPU overhead on the measured path
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
