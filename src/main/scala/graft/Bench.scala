@@ -75,7 +75,7 @@ object Bench {
       * spark-submit at that cluster size): no GC/JIT state shared between
       * parallelism levels, which otherwise dominates the comparison.
       */
-    def pipelineRun(k: Int): Double = {
+    def pipelineRun(k: Int, reps: Int = 2): Seq[Double] = {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val addOpens = Seq(
         "java.base/java.lang", "java.base/java.lang.invoke",
@@ -95,7 +95,7 @@ object Bench {
         // writeback latency that otherwise dominates measurements
         s"-Dspark.local.dir=$shuffleDir",
         "-cp", System.getProperty("java.class.path"),
-        "graft.BenchPipelineRun", k.toString, pagesPath, "2"
+        "graft.BenchPipelineRun", k.toString, pagesPath, reps.toString
       )
       val out = new StringBuilder
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -108,7 +108,7 @@ object Bench {
       }
       proc.waitFor()
       require(out.nonEmpty, s"no RESULT from subprocess at k=$k")
-      out.toString.split(" ")(2).toDouble
+      out.toString.split(" ").drop(2).map(_.toDouble).toSeq
     }
 
     // criterion-shaped detector micro-bench (single-threaded, F6 groups)
@@ -121,13 +121,14 @@ object Bench {
     // width.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
     val scaleHigh = scaleLow * 4
-    // the wide runs are hit hardest by shared-host interference, so sample
-    // them more often; min per level filters the noisy windows
-    val lowSamples = (1 to 2).map(_ => pipelineRun(scaleLow))
-    val highSamples = (1 to 3).map(_ => pipelineRun(scaleHigh))
+    // shared-host interference comes in multi-minute waves and hits wide
+    // runs hardest; spread the 4N samples over two JVMs with several reps
+    // each, and take min per level (min estimates the quiet-host time)
+    val lowSamples = pipelineRun(scaleLow, reps = 3)
+    val highSamples = pipelineRun(scaleHigh, reps = 4) ++ pipelineRun(scaleHigh, reps = 4)
     val tLow = lowSamples.min
     val tHigh = highSamples.min
-    val tFull = pipelineRun(cpus)
+    val tFull = pipelineRun(cpus, reps = 2).min
     val tpLow = benchPages / tLow
     val tpHigh = benchPages / tHigh
     val tpFull = benchPages / tFull

@@ -42,7 +42,7 @@ object BenchPipelineRun {
       noop(FilterPipeline.run(spark, spark.read.parquet(path), bc))
       (System.nanoTime() - t0) / 1e9
     }
-    println(s"RESULT $k ${times.min}")
+    println(s"RESULT $k ${times.mkString(" ")}")
     spark.stop()
   }
 }

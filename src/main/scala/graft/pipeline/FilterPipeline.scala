@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import graft.lang.{Detector, DetectorConfig, PackedModel, ScriptLang}
-import graft.train.FixtureCorpus
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
