@@ -121,11 +121,16 @@ object Bench {
     // width.
     val scaleLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
     val scaleHigh = scaleLow * 4
-    // shared-host interference comes in multi-minute waves and hits wide
-    // runs hardest; spread the 4N samples over two JVMs with several reps
-    // each, and take min per level (min estimates the quiet-host time)
-    val lowSamples = pipelineRun(scaleLow, reps = 3)
-    val highSamples = pipelineRun(scaleHigh, reps = 4) ++ pipelineRun(scaleHigh, reps = 4)
+    // shared-host interference comes in multi-minute waves; alternate the
+    // two levels across separate JVM windows so at least one window per
+    // level lands on a quiet stretch, and take min per level (min
+    // estimates the quiet-host time)
+    var lowSamples = Seq.empty[Double]
+    var highSamples = Seq.empty[Double]
+    (1 to 3).foreach { _ =>
+      lowSamples = lowSamples ++ pipelineRun(scaleLow, reps = 2)
+      highSamples = highSamples ++ pipelineRun(scaleHigh, reps = 2)
+    }
     val tLow = lowSamples.min
     val tHigh = highSamples.min
     val tFull = pipelineRun(cpus, reps = 2).min

@@ -30,6 +30,10 @@ object SparkEntry {
     "q11_rollup" -> (Relational.q11Rollup _),
     "q12_exists_subquery" -> (Relational.q12ExistsSubquery _),
     "q13_scalar_agg" -> (Relational.q13ScalarAgg _),
+    "q31_asof_join" -> (Relational.q31AsofJoin _),
+    "q32_percentiles" -> (Relational.q32Percentiles _),
+    "q33_strings" -> (Relational.q33Strings _),
+    "q34_dates" -> (Relational.q34Dates _),
     // text analysis / training-data ops
     "q14_tokens" -> (TextOps.q14Tokens _),
     "q15_quality" -> (TextOps.q15Quality _),
@@ -152,6 +156,28 @@ object SparkEntry {
         | round(max(l_extendedprice),2) AS max_price,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "q31_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id AS view_event_id, user_id AS u2, ts AS ts2
+        |      FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, view_event_id
+        |FROM c ASOF JOIN v ON c.user_id = v.u2 AND c.ts >= v.ts2""".stripMargin,
+    "q32_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        | round(quantile_cont(l_quantity, 0.25), 2) AS qty_p25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q33_strings" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
+        | concat(p_brand, '-', p_type) AS label, length(p_name) AS name_len,
+        | levenshtein(p_brand, p_type) AS lev
+        |FROM part""".stripMargin,
+    "q34_dates" ->
+      """SELECT date_trunc('month', o_orderdate) AS m,
+        | extract(year FROM o_orderdate) AS y,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
     "q14_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         | length(text) AS n_chars_computed,

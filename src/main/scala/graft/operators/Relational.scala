@@ -202,4 +202,60 @@ object Relational {
       round(max(col("l_extendedprice")), 2).as("max_price"),
       countDistinct(col("l_orderkey")).as("n_orders")
     )
+
+  /** As-of join — an operator Spark lacks natively, composed from built-ins
+    * (preference (a) of the custom-operator ladder): union both event
+    * streams, window `last(..., ignoreNulls)` per user over event time, so
+    * each click picks the most recent view at-or-before it. One shuffle by
+    * user; the DuckDB oracle is a literal ASOF JOIN.
+    */
+  def q31AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("kind_rank"),
+        lit(null).cast("long").as("view_event_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("kind_rank"),
+        col("event_id").as("view_event_id"))
+    // at equal ts a view sorts before a click (>= semantics of ASOF)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind_rank"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(views)
+      .withColumn("matched_view", last(col("view_event_id"), ignoreNulls = true).over(w))
+      .filter(col("kind_rank") === 1 && col("matched_view").isNotNull)
+      .select(col("event_id"), col("user_id"), col("matched_view").as("view_event_id"))
+  }
+
+  /** Exact interpolated percentiles per group (sort-based aggregate). */
+  def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("qty_p25")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Scalar string function suite (all codegen'd builtins). */
+  def q33Strings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_type"), 1, 5).as("t5"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("label"),
+        length(col("p_name")).cast("long").as("name_len"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev")
+      )
+
+  /** Date/time functions: truncation + extraction + grouped agg. */
+  def q34Dates(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("m"),
+        year(col("o_orderdate")).cast("long").as("y")
+      )
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
 }
