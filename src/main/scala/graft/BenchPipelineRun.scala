@@ -17,7 +17,9 @@ object BenchPipelineRun {
     val spark = SparkSession.builder()
       .master(s"local[$k]")
       .appName(s"graft-pipeline-$k")
-      .config("spark.sql.shuffle.partitions", k.toString)
+      // 4 waves per core: smaller per-partition sorts + smoother load
+      // balancing of the post-shuffle kernel stage
+      .config("spark.sql.shuffle.partitions", (k * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       // Spark 4 defaults to size-first coalescing, which shrank the
       // post-shuffle kernel stage to ~1/3 of the cores; parallelism first

@@ -263,9 +263,13 @@ object FilterPipeline {
 
     // cross-row rule: host-scoped exact-dup window — first (by warc_ts, url)
     // copy survives, later copies drop (whole-document repetition)
+    // the window keys are 64-bit hashes of (host, text): grouping equality
+    // within 64-bit collision bounds, and the underlying sort runs on two
+    // longs (radix-friendly) instead of host/text strings
     val keyed = pages
       .select($"url", $"warc_ts", $"text")
-      .withColumn("w_host", substring_index(substring_index($"url", "://", -1), "/", 1))
+      .withColumn("w_host",
+        xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
       .withColumn("w_hash", xxhash64($"text"))
     val w = Window.partitionBy($"w_host", $"w_hash").orderBy($"warc_ts", $"url")
     val ranked = keyed
