@@ -22,7 +22,9 @@ final class SnapshotStore(root: String) {
   Files.createDirectories(dataDir)
   Files.createDirectories(snapDir)
 
-  final case class PartitionEntry(partition: String, rows: Long, kept: Long, dataPath: String)
+  final case class PartitionEntry(
+      partition: String, rows: Long, kept: Long, dataPath: String,
+      dropReasons: Map[String, Long] = Map.empty)
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -61,7 +63,10 @@ final class SnapshotStore(root: String) {
       } else Seq.empty
 
     val entriesJson = prev ++ newEntries.map { e =>
-      s"""{"partition":${q(e.partition)},"rows":${e.rows},"kept":${e.kept},"data_path":${q(e.dataPath)}}"""
+      val drops = e.dropReasons.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+      s"""{"partition":${q(e.partition)},"rows":${e.rows},"kept":${e.kept},""" +
+        s""""drop_reasons":$drops,"data_path":${q(e.dataPath)}}"""
     }
     val id = nextSnapshotId()
     val metricsJson = metrics.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
@@ -120,7 +125,10 @@ object SnapshotStore {
         val r = written.agg(count(lit(1)), sum(when($"keep", 1L).otherwise(0L))).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
-      store.PartitionEntry(part, rows, kept, out)
+      val drops = written.filter(!$"keep")
+        .groupBy($"drop_reason").count()
+        .as[(String, Long)].collect().toMap
+      store.PartitionEntry(part, rows, kept, out, drops)
     }.toSeq
 
     store.commit(

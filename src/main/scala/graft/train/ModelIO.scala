@@ -53,6 +53,22 @@ object ModelIO {
     PackedModel.fromModels(models)
   }
 
+  /** Prune a model DataFrame: keep the top `topK` n-grams per
+    * (lang, size) by probability. The Spark analog of langram_models'
+    * "remove model ngrams and recompile so the binary is lighter"
+    * (reference: README.md:33) — shrinks the broadcast footprint at a
+    * controlled accuracy cost. Window-rank per group, one shuffle.
+    */
+  def prune(model: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("size"))
+      .orderBy(col("logprob").desc, col("ngram"))
+    model
+      .withColumn("rank_in_group", row_number().over(w))
+      .filter(col("rank_in_group") <= topK)
+      .drop("rank_in_group")
+  }
+
   /** Train from a fixture corpus entirely on the driver (fast path for
     * tests and for SparkEntry queries that need a deterministic model).
     */

@@ -42,6 +42,27 @@ class ModelIOSpec extends AnyFunSuite {
     assert(loaded.wordgramFloor == direct.wordgramFloor)
   }
 
+  test("pruned model keeps topK per (lang,size) and still detects") {
+    import spark.implicits._
+    val corpus = FixtureCorpus
+      .corpus(nLinesPerLang = 80, langs = Seq("eng", "deu"))
+      .flatMap { case (l, ls) => ls.map(x => (l, x)) }
+      .toDF("lang", "line")
+    val full = Trainer.trainSpark(spark, corpus)
+    val pruned = ModelIO.prune(full, topK = 150)
+    val counts = pruned.groupBy("lang", "size").count().as[(String, Int, Long)].collect()
+    assert(counts.forall(_._3 <= 150))
+    assert(pruned.count() < full.count())
+    val packed = ModelIO.fromRows(
+      pruned.as[(String, Int, String, Double)].collect())
+    val det = new Detector(packed, DetectorConfig.default.copy(
+      languages = Set("eng", "deu").map(ScriptLang.id)))
+    assert(det.detectTopOneReordered("the world is good and the people know")
+      .map(ScriptLang.code).contains("eng"))
+    assert(det.detectTopOneReordered("das wasser ist gut für die leute")
+      .map(ScriptLang.code).contains("deu"))
+  }
+
   test("detect_lang SQL function over the broadcast model") {
     LangOps.registerSql(spark)
     val r = spark.sql(

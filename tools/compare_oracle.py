@@ -52,7 +52,7 @@ def main(sf_dir, out_dir):
             print(f"{name}: ROWCOUNT spark={len(s)} duck={len(o)}"); n_fail += 1; continue
         eq = s.equals(o)
         if not eq:
-            # локate first difference
+            # locate first difference
             diff_cols = [c for c in s.columns if not s[c].equals(o[c])]
             print(f"{name}: VALUE MISMATCH in {diff_cols} (dtypes {dt_mismatch})")
             for c in diff_cols[:2]:
