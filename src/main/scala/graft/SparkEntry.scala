@@ -34,6 +34,8 @@ object SparkEntry {
     "q32_percentiles" -> (Relational.q32Percentiles _),
     "q33_strings" -> (Relational.q33Strings _),
     "q34_dates" -> (Relational.q34Dates _),
+    "q35_cube" -> (Relational.q35Cube _),
+    "q36_time_buckets" -> (Relational.q36TimeBuckets _),
     // text analysis / training-data ops
     "q14_tokens" -> (TextOps.q14Tokens _),
     "q15_quality" -> (TextOps.q15Quality _),
@@ -178,6 +180,15 @@ object SparkEntry {
         | extract(year FROM o_orderdate) AS y,
         | count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q35_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q36_time_buckets" ->
+      """SELECT time_bucket(INTERVAL 6 HOURS, ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q14_tokens" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         | length(text) AS n_chars_computed,

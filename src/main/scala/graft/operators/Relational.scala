@@ -250,6 +250,28 @@ object Relational {
         levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev")
       )
 
+  /** Full CUBE over two dimensions (grouping-set expansion). */
+  def q35Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total")
+      )
+
+  /** Tumbling event-time buckets — the batch shape of the streaming
+    * windowed aggregation (StreamingFilter.startMetrics).
+    */
+  def q36TimeBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "6 hours").getField("start").as("bucket"),
+        col("event_type")
+      )
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+
   /** Date/time functions: truncation + extraction + grouped agg. */
   def q34Dates(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
