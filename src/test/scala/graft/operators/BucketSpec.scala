@@ -7,19 +7,31 @@ import org.scalatest.funsuite.AnyFunSuite
   * for repeated fact-to-fact joins at 100 TB (SURVEY.md §2.2 join notes).
   */
 class BucketSpec extends AnyFunSuite {
-  private lazy val spark = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+  private lazy val spark =
     SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-  }
 
   test("bucketed tables join without any exchange") {
     val sf = "/root/testdata/sf0.001"
+    // getOrCreate may reuse another suite's session — set the join
+    // threshold at runtime to force the non-broadcast path
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // remove catalog entries AND orphan warehouse dirs from aborted runs
+    Seq("lineitem_bucketed", "orders_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    try {
     Tables.lineitem(spark, sf)
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -40,5 +52,6 @@ class BucketSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       "bucketed join must not shuffle:\n" + plan)
     assert(joined.count() == 6000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 }
