@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** The web-scale quality-filter pipeline (BASELINE.json north_star):
-  * Common-Crawl-style pages → language-ID (broadcast langram-equivalent
-  * model inside ONE fused typed partition map, which also computes the
-  * perplexity proxy, heuristic quality features, and the PII/toxicity
-  * scrub) → cross-row host-window dedup rule → keep/drop gate.
+  * Common-Crawl-style pages → host-scoped exact-dup window (first copy
+  * wins) → language-ID (broadcast langram-equivalent model inside ONE
+  * fused typed partition map, which also computes the perplexity proxy,
+  * OOV coverage, heuristic quality features, and the PII/toxicity scrub)
+  * → keep/drop gate.
   *
   * Scale choices (SURVEY.md §4):
-  *  - `html` is never read on this path (column pruning reaches the scan);
+  *  - `html` is never read on this path (column pruning reaches the scan;
+  *    asserted in PlanSpec);
   *  - the model is a broadcast variable, not a join;
-  *  - input is salted-repartitioned on hash(url, salt) to break host/domain
-  *    skew before the expensive map;
-  *  - the only shuffle after the map is the host-window dedup, keyed by
-  *    (host, text_hash) — bounded by duplicate-group size.
+  *  - ONE exchange total, keyed by (xxhash64(host), xxhash64(text)): the
+  *    content hash spreads a Zipf-hot host uniformly (skew defense — see
+  *    also `saltedRepartition`) while co-locating exact duplicates for
+  *    the window; the fused kernel runs downstream shuffle-free;
+  *  - the window sort keys are two longs (radix-friendly), never strings.
   */
 object FilterPipeline {
 
