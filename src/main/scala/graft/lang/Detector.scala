@@ -130,9 +130,22 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     * and the pipeline's quality features — no per-call word allocation.
     */
   def probabilities(text: String): ArrayBuffer[Scored] = {
+    detectInPlace(text)
+    val out = new ArrayBuffer[Scored](resN)
+    var i = 0
+    while (i < resN) { out += Scored(resLangs(i), resProbs(i)); i += 1 }
+    out
+  }
+
+  /** Allocation-free detection: fills the reused result arrays and returns
+    * the ranked count; read via resultLang/resultProb (valid until the
+    * next call). The pipeline kernel's entry point.
+    */
+  def detectInPlace(text: String): Int = {
     probedCount = 0 // reset up-front: early-return paths must not leak stale diagnostics
+    resN = 0
     tokBuf.clear()
-    if (text.isEmpty) return ArrayBuffer.empty[Scored]
+    if (text.isEmpty) return 0
 
     Tokenizer.tokenizeInto(text, tokBuf)
     val nCand0 = Tokenizer.prefilterInto(tokBuf, prefCounts, candBuf)
@@ -143,8 +156,11 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       if (configured(candBuf(c))) { candBuf(nCand) = candBuf(c); nCand += 1 }
       c += 1
     }
-    if (tokBuf.nWords == 0 || nCand == 0) return ArrayBuffer.empty[Scored]
-    if (nCand == 1) return ArrayBuffer(Scored(candBuf(0), 0.0))
+    if (tokBuf.nWords == 0 || nCand == 0) return 0
+    if (nCand == 1) {
+      resLangs(0) = candBuf(0); resProbs(0) = 0.0; resN = 1
+      return 1
+    }
 
     val charsCount = tokBuf.totalCps
     var sizes =
@@ -195,19 +211,57 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     }
 
     // mean log-prob per candidate; cnt==0 → −∞ (src/detector/mod.rs:202-220)
-    val res = new ArrayBuffer[Scored](nCand)
+    resN = 0
     i = 0
     while (i < nCand) {
       val l = candBuf(i)
-      res += Scored(l, if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l))
+      resLangs(resN) = l
+      resProbs(resN) = if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l)
+      resN += 1
       isCand(l) = false
       i += 1
     }
-    // sort prob desc (total order), lang ordinal asc tiebreak
-    res.sortWith { (a, b) =>
-      val cc = java.lang.Double.compare(b.prob, a.prob)
-      if (cc != 0) cc < 0 else a.langId < b.langId
+    // in-place insertion sort: prob desc (total order), lang ordinal asc
+    i = 1
+    while (i < resN) {
+      val pl = resLangs(i)
+      val pp = resProbs(i)
+      var j = i - 1
+      while (j >= 0 && {
+        val cc = java.lang.Double.compare(resProbs(j), pp)
+        cc < 0 || (cc == 0 && resLangs(j) > pl)
+      }) {
+        resLangs(j + 1) = resLangs(j); resProbs(j + 1) = resProbs(j); j -= 1
+      }
+      resLangs(j + 1) = pl; resProbs(j + 1) = pp
+      i += 1
     }
+    resN
+  }
+
+  /** In-place result of the LAST detection: ranked language ids / log
+    * probs in reused arrays (valid until the next call).
+    */
+  private val resLangs = new Array[Int](ScriptLang.count)
+  private val resProbs = new Array[Double](ScriptLang.count)
+  private var resN = 0
+  def resultCount: Int = resN
+  def resultLang(i: Int): Int = resLangs(i)
+  def resultProb(i: Int): Double = resProbs(i)
+
+  /** Popularity reorder pick over the in-place result (reference:
+    * src/detector/mod.rs:383-431): among langs with p ≥ p1 − d, minimum
+    * ordinal wins.
+    */
+  def reorderPickInPlace(d: Double): Int = {
+    val reorderProb = resProbs(0) - d
+    var best = resLangs(0)
+    var i = 1
+    while (i < resN && resProbs(i) >= reorderProb) {
+      if (resLangs(i) < best) best = resLangs(i)
+      i += 1
+    }
+    best
   }
 
   /** Probe one n-gram and accumulate (reference `ngrams_sum_cnt`,

@@ -145,28 +145,36 @@ object FilterPipeline {
       text: String
   ): DocResult = {
     {
-      val probs = det.probabilities(text)
-      val toks = det.tokens // valid until the next det.probabilities call
+      val nRanked = det.detectInPlace(text) // allocation-free result arrays
+      val toks = det.tokens // valid until the next detection call
       // language + confidence: reordered pick + softmax relative probability
       var lang = "und"
       var conf = 0.0
       var perplexity = Double.MaxValue
       var coverage = 0.0
-      if (probs.nonEmpty) {
-        val best = det.reorderPick(probs, det.defaultReorderDistance)
+      if (nRanked > 0) {
+        val best = det.reorderPickInPlace(det.defaultReorderDistance)
         lang = ScriptLang.code(best)
         // softmax (same special cases as Detector.relativize)
-        val first = probs(0).prob
+        val first = det.resultProb(0)
         if (first == 0.0) {
-          val zeros = probs.count(_.prob == 0.0)
+          var zeros = 0
+          var i = 0
+          while (i < nRanked && det.resultProb(i) == 0.0) { zeros += 1; i += 1 }
           conf = 1.0 / zeros
         } else if (first == Double.NegativeInfinity) {
-          conf = 1.0 / probs.length
+          conf = 1.0 / nRanked
         } else {
           var denom = 0.0
-          probs.foreach(s => denom += math.exp(s.prob))
-          val bestP = probs.find(_.langId == best).map(_.prob).getOrElse(first)
-          conf = if (denom == 0.0) { if (best == probs(0).langId) 1.0 else 0.0 }
+          var bestP = first
+          var i = 0
+          while (i < nRanked) {
+            val p = det.resultProb(i)
+            denom += math.exp(p)
+            if (det.resultLang(i) == best) bestP = p
+            i += 1
+          }
+          conf = if (denom == 0.0) { if (best == det.resultLang(0)) 1.0 else 0.0 }
                  else math.exp(bestP) / denom
         }
         perplexity =
