@@ -195,13 +195,13 @@ object Bench {
          |
          || group | µs/batch |
          || --- | --- |
-         |${micro.toSeq.sortBy(_._1).map { case (k, v) => s"| $k | ${math.round(v * 10.0) / 10.0} |" }.mkString("\n")}
+         |${micro.toSeq.sortBy(_._1).map { case (k, v) => s"| $k | ${math.round(v * 10.0) / 10.0} |" }.mkString("\n|")}
          |
          |Operator query times at `$sfDir`, local[$cpus], noop sink:
          |
          || query | sec |
          || --- | --- |
-         |${queryTimes.map { case (k, v) => s"| $k | $v |" }.mkString("\n")}
+         |${queryTimes.map { case (k, v) => s"| $k | $v |" }.mkString("\n|")}
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH.md"), md)
   }

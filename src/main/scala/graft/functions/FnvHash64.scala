@@ -31,12 +31,30 @@ case class FnvHash64(child: Expression) extends UnaryExpression {
 }
 
 object FnvHash64 {
-  /** Static entry the generated code calls. Iterates code points of the
-    * UTF8String without materializing a java.lang.String.
+  /** Static entry the generated code calls. Decodes code points straight
+    * from the UTF8String's bytes — no java.lang.String materialization on
+    * the codegen'd path (bit-equal to NgramHash.ofString on valid UTF-8).
     */
   def hashUtf8(s: UTF8String): Long = {
-    val str = s.toString // UTF8String exposes no cheap code-point iterator
-    NgramHash.ofString(str)
+    val n = s.numBytes()
+    var h = NgramHash.Seed
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xe0) {
+        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f); i += 2
+      } else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+          (s.getByte(i + 2) & 0x3f); i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f); i += 4
+      }
+      h = NgramHash.step(h, cp)
+    }
+    if (h == 0L) NgramHash.ZeroRemap else h
   }
 
   def apply(c: Column): Column =

@@ -163,10 +163,11 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     }
 
     val charsCount = tokBuf.totalCps
-    var sizes =
+    val sizes =
       if (charsCount < config.longTextMinLen) config.shortSizes else config.longSizes
     val wordgramsEnabled = sizes.nonEmpty && sizes(sizes.length - 1) == 5
-    if (wordgramsEnabled) sizes = sizes.slice(0, sizes.length - 1)
+    // iterate char sizes up to nSizes (no slice allocation in the kernel)
+    val nSizes = if (wordgramsEnabled) sizes.length - 1 else sizes.length
 
     // reset accumulators for the candidate set
     var i = 0
@@ -178,7 +179,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
 
     val cps = tokBuf.cps
     var s = 0
-    while (s < sizes.length) {
+    while (s < nSizes) {
       val n = sizes(s) + 1 // window length
       val table = model.charTables(sizes(s))
       seen.clear()

@@ -158,10 +158,17 @@ object FilterPipeline {
         // softmax (same special cases as Detector.relativize)
         val first = det.resultProb(0)
         if (first == 0.0) {
+          // mirror detectWithConfidence/relativize: only the zero-prob langs
+          // survive relativization, each at 1/zeros — a reorder pick from
+          // OUTSIDE the zero set (0 > p >= -d) relativizes to 0.0
           var zeros = 0
+          var pickIsZero = false
           var i = 0
-          while (i < nRanked && det.resultProb(i) == 0.0) { zeros += 1; i += 1 }
-          conf = 1.0 / zeros
+          while (i < nRanked && det.resultProb(i) == 0.0) {
+            if (det.resultLang(i) == best) pickIsZero = true
+            zeros += 1; i += 1
+          }
+          conf = if (pickIsZero) 1.0 / zeros else 0.0
         } else if (first == Double.NegativeInfinity) {
           conf = 1.0 / nRanked
         } else {

@@ -37,8 +37,6 @@ object PagesGen {
   val pipelineLangs: Vector[String] =
     Vector("eng", "deu", "fra", "spa", "por", "ita", "nld", "rus")
 
-  private val langToBcp: Map[String, String] = Map.empty
-
   /** Deterministic html wrapper; extraction (FilterPipeline.extractText)
     * must invert it byte-identically.
     */

@@ -28,24 +28,58 @@ final class SnapshotStore(root: String) {
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  /** Input partitions already committed in the current snapshot. */
-  def committedPartitions(): Set[String] = {
-    if (!Files.exists(currentPtr)) return Set.empty
-    val manifest = Paths.get(root, Files.readString(currentPtr).trim)
-    if (!Files.exists(manifest)) return Set.empty
-    // minimal parse: "partition":"<value>"
-    val re = """"partition"\s*:\s*"([^"]+)"""".r
-    re.findAllMatchIn(Files.readString(manifest)).map(_.group(1)).toSet
+  // Manifests are parsed with a real JSON parser (jackson ships with Spark).
+  // The earlier regex scan (`\{"partition":[^}]*\}`) silently truncated
+  // entries at the first `}` of the nested drop_reasons object, corrupting
+  // every carried-forward manifest from the second commit on.
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def currentManifest(): Option[Path] = {
+    if (!Files.exists(currentPtr)) return None
+    val m = Paths.get(root, Files.readString(currentPtr).trim)
+    if (Files.exists(m)) Some(m) else None
   }
 
+  /** Parse a manifest's `entries` array back into PartitionEntry values. */
+  private def readEntries(manifest: Path): Seq[PartitionEntry] = {
+    val node = mapper.readTree(Files.readString(manifest))
+    val entries = node.get("entries")
+    if (entries == null || !entries.isArray) return Seq.empty
+    (0 until entries.size()).map { i =>
+      val e = entries.get(i)
+      val drops = Option(e.get("drop_reasons")).filter(_.isObject).map { d =>
+        d.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap
+      }.getOrElse(Map.empty[String, Long])
+      PartitionEntry(
+        e.get("partition").asText(), e.get("rows").asLong(), e.get("kept").asLong(),
+        e.get("data_path").asText(), drops)
+    }
+  }
+
+  /** Input partitions already committed in the current snapshot. */
+  def committedPartitions(): Set[String] =
+    currentManifest().map(readEntries(_).map(_.partition).toSet).getOrElse(Set.empty)
+
+  private val manifestNameRe = """manifest-(\d+)\.json""".r
+
   private def nextSnapshotId(): Int = {
-    val existing = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("manifest-") =>
-        s.stripPrefix("manifest-").stripSuffix(".json").toInt
-      }
-      .toSeq
+    // match only manifest-<digits>.json: a stale temp file left by a crash
+    // between createTempFile and ATOMIC_MOVE must not wedge future commits
+    val stream = Files.list(snapDir)
+    val existing =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case manifestNameRe(n) => n.toInt }
+        .toSeq
+      finally stream.close()
     if (existing.isEmpty) 1 else existing.max + 1
+  }
+
+  private def entryJson(e: PartitionEntry): String = {
+    val drops = e.dropReasons.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    s"""{"partition":${q(e.partition)},"rows":${e.rows},"kept":${e.kept},""" +
+      s""""drop_reasons":$drops,"data_path":${q(e.dataPath)}}"""
   }
 
   /** Commit new partitions atomically: carries forward the previous
@@ -53,27 +87,14 @@ final class SnapshotStore(root: String) {
     * file and ATOMIC_MOVEs it in, then repoints CURRENT.
     */
   def commit(newEntries: Seq[PartitionEntry], metrics: Map[String, String]): Path = {
-    val prev: Seq[String] =
-      if (Files.exists(currentPtr)) {
-        val m = Paths.get(root, Files.readString(currentPtr).trim)
-        if (Files.exists(m)) {
-          val re = """\{"partition":[^}]*\}""".r
-          re.findAllIn(Files.readString(m)).toSeq
-        } else Seq.empty
-      } else Seq.empty
-
-    val entriesJson = prev ++ newEntries.map { e =>
-      val drops = e.dropReasons.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-      s"""{"partition":${q(e.partition)},"rows":${e.rows},"kept":${e.kept},""" +
-        s""""drop_reasons":$drops,"data_path":${q(e.dataPath)}}"""
-    }
+    val prev = currentManifest().map(readEntries).getOrElse(Seq.empty)
+    val entriesJson = (prev ++ newEntries).map(entryJson)
     val id = nextSnapshotId()
     val metricsJson = metrics.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val json =
       s"""{"snapshot_id":$id,"entries":[${entriesJson.mkString(",")}],"metrics":$metricsJson}"""
 
-    val tmp = Files.createTempFile(snapDir, "manifest-", ".tmp")
+    val tmp = Files.createTempFile(snapDir, "tmp-", ".tmp")
     Files.writeString(tmp, json)
     val target = snapDir.resolve(s"manifest-$id.json")
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)

@@ -68,8 +68,14 @@ object Trainer {
       val cur = counts(n - 1)
       val lower = counts(n - 2)
       out(n - 1) = cur.iterator.flatMap { case (ngram, freq) =>
-        val pre = lower.get(ngram.substring(0, ngram.length - 1))
-        val suf = lower.get(ngram.substring(1))
+        // slice prefix/suffix by CODE POINTS, not UTF-16 chars: supplementary
+        // -plane letters (e.g. CJK Ext-B Han) are surrogate pairs, and a char
+        // substring would split them, silently missing the lower-gram lookup
+        // (matches trainSpark's code-point substring and the reference's
+        // char windows, train/src/training_model.rs:48-57)
+        val pre = lower.get(ngram.substring(
+          0, ngram.length - Character.charCount(ngram.codePointBefore(ngram.length))))
+        val suf = lower.get(ngram.substring(Character.charCount(ngram.codePointAt(0))))
         (pre, suf) match {
           case (Some(p), Some(s)) => Some(ngram -> math.log(freq.toDouble / math.min(p, s)))
           case _ => None

@@ -112,5 +112,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.committedPartitions() == allParts.toSet)
     val outRows = spark.read.parquet(s"$outRoot/data").count()
     assert(outRows == 600L)
+
+    // the RESUMED (second-commit) manifest must be well-formed JSON with all
+    // carried-forward entries intact — full drop_reasons lineage included
+    // (regression: a regex carry-forward truncated nested objects)
+    val currentRel = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outRoot, "CURRENT")).trim
+    val manifestJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outRoot, currentRel))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(manifestJson)
+    assert(node.get("snapshot_id").asInt() == 2)
+    val entries = node.get("entries")
+    assert(entries.isArray && entries.size() == 3, s"expected 3 entries: $manifestJson")
+    (0 until entries.size()).foreach { i =>
+      val e = entries.get(i)
+      assert(e.get("data_path").asText().nonEmpty)
+      assert(e.get("drop_reasons").isObject)
+      assert(e.get("rows").asLong() > 0L)
+    }
+    // a stale temp file must not wedge snapshot-id derivation
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outRoot, "snapshots", "manifest-oops.tmp"), "{}")
+    store.commit(Seq.empty, Map("noop" -> "true"))
+    assert(store.committedPartitions() == allParts.toSet)
   }
 }
