@@ -1,0 +1,162 @@
+package graft
+
+import graft.lang.{Detector, DetectorConfig}
+import graft.pipeline.{FilterPipeline, PagesGen}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: time the pipeline's components in isolation in one JVM.
+  * Usage: runMain graft.BenchDecompose <cores> <pagesPath> [mode...]
+  * modes: scan kernel dedup full (default: all)
+  */
+object BenchDecompose {
+  def main(args: Array[String]): Unit = {
+    val k = args(0).toInt
+    val path = args(1)
+    val modes = if (args.length > 2) args.drop(2).toSeq else Seq("scan", "kernel", "dedup", "full")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$k]")
+      .appName(s"graft-decompose-$k")
+      .config("spark.sql.shuffle.partitions", (k * 4).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val bc = spark.sparkContext.broadcast(graft.train.FixtureCorpus.model)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(name: String)(f: => Unit): Unit = {
+      f // warm
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(s"DECOMP $name ${ts.map(t => f"$t%.2f").mkString(" ")}")
+    }
+
+    val pages = spark.read.parquet(path)
+    val config = DetectorConfig.default.copy(
+      languages = PagesGen.pipelineLangs.map(graft.lang.ScriptLang.id).toSet)
+
+    modes.foreach {
+      case "scan" =>
+        timed("scan_hash") {
+          noop(pages.select($"url", $"warc_ts",
+            xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)).as("w_host"),
+            xxhash64($"text").as("w_hash")))
+        }
+      case "kernel" =>
+        timed("kernel_noshuffle") {
+          noop(pages.select($"url", $"warc_ts", $"text")
+            .as[(String, java.sql.Timestamp, String)]
+            .mapPartitions(it => FilterPipeline.processPartition(bc.value, config, it))
+            .toDF())
+        }
+      case "dedup" =>
+        timed("dedup_only") {
+          val keyed = pages.select($"url", $"warc_ts", $"text")
+            .withColumn("w_host",
+              xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
+            .withColumn("w_hash", xxhash64($"text"))
+          val winners = keyed.groupBy($"w_host", $"w_hash")
+            .agg(min(struct($"warc_ts", $"url")).as("win"))
+          noop(keyed.join(winners.hint("shuffle_hash"), Seq("w_host", "w_hash"))
+            .select($"url", $"warc_ts", $"text",
+              ($"warc_ts" =!= $"win.warc_ts" || $"url" =!= $"win.url").as("is_dup")))
+        }
+      case "full" =>
+        timed("full_pipeline") {
+          noop(FilterPipeline.run(spark, pages, bc))
+        }
+      case "window" =>
+        timed("dedup_window") {
+          val keyed = pages.select($"url", $"warc_ts", $"text")
+            .withColumn("w_host",
+              xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
+            .withColumn("w_hash", xxhash64($"text"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"w_host", $"w_hash").orderBy($"warc_ts", $"url")
+          noop(keyed.withColumn("dup_rank", row_number().over(w))
+            .select($"url", $"warc_ts", $"text", ($"dup_rank" > 1).as("is_dup")))
+        }
+      case "ord" =>
+        timed("dedup_ord_hashagg") {
+          val keyed = pages.select($"url", $"warc_ts", $"text")
+            .withColumn("w_host",
+              xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
+            .withColumn("w_hash", xxhash64($"text"))
+            .withColumn("ord",
+              (shiftleft(unix_millis($"warc_ts"), 20)
+                + (xxhash64($"url").bitwiseAND(lit(0xFFFFFL)))))
+          val winners = keyed.groupBy($"w_host", $"w_hash")
+            .agg(min($"ord").as("win_ord"))
+          noop(keyed.join(winners.hint("shuffle_hash"), Seq("w_host", "w_hash"))
+            .select($"url", $"warc_ts", $"text", ($"ord" =!= $"win_ord").as("is_dup")))
+        }
+      case "ordplan" =>
+        val keyed = pages.select($"url", $"warc_ts", $"text")
+          .withColumn("w_host",
+            xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
+          .withColumn("w_hash", xxhash64($"text"))
+          .withColumn("ord",
+            (shiftleft(unix_millis($"warc_ts"), 20)
+              + (xxhash64($"url").bitwiseAND(lit(0xFFFFFL)))))
+        val winners = keyed.groupBy($"w_host", $"w_hash")
+          .agg(min($"ord").as("win_ord"))
+        val df = keyed.join(winners.hint("shuffle_hash"), Seq("w_host", "w_hash"))
+          .select($"url", $"warc_ts", $"text", ($"ord" =!= $"win_ord").as("is_dup"))
+        noop(df)
+        println(df.queryExecution.executedPlan.toString)
+      case "reuse" =>
+        timed("dedup_reuse_exchange") {
+          val keyed = pages.select($"url", $"warc_ts", $"text")
+            .withColumn("w_host",
+              xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
+            .withColumn("w_hash", xxhash64($"text"))
+          val parted = keyed.repartition($"w_host", $"w_hash")
+          val winners = parted.groupBy($"w_host", $"w_hash")
+            .agg(min(struct($"warc_ts", $"url")).as("win"))
+          noop(parted.join(winners.hint("shuffle_hash"), Seq("w_host", "w_hash"))
+            .select($"url", $"warc_ts", $"text",
+              ($"warc_ts" =!= $"win.warc_ts" || $"url" =!= $"win.url").as("is_dup")))
+        }
+      case "reuseplan" =>
+        val keyed = pages.select($"url", $"warc_ts", $"text")
+          .withColumn("w_host",
+            xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
+          .withColumn("w_hash", xxhash64($"text"))
+        val parted = keyed.repartition($"w_host", $"w_hash")
+        val winners = parted.groupBy($"w_host", $"w_hash")
+          .agg(min(struct($"warc_ts", $"url")).as("win"))
+        val df = parted.join(winners.hint("shuffle_hash"), Seq("w_host", "w_hash"))
+          .select($"url", $"warc_ts", $"text",
+            ($"warc_ts" =!= $"win.warc_ts" || $"url" =!= $"win.url").as("is_dup"))
+        noop(df)
+        println(df.queryExecution.executedPlan.toString)
+      case "fullplan" =>
+        val df = FilterPipeline.run(spark, pages, bc)
+        noop(df)
+        println(df.queryExecution.executedPlan.toString)
+      case "stages" =>
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            println(f"STAGE ${si.stageId}%3d tasks=${si.numTasks}%4d dur=$dur%6.2f ${si.name.take(80)}")
+          }
+        })
+        noop(FilterPipeline.run(spark, pages, bc)) // warm
+        println("=== timed run ===")
+        noop(FilterPipeline.run(spark, pages, bc))
+      case other => println(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

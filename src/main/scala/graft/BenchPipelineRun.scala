@@ -21,10 +21,12 @@ object BenchPipelineRun {
       // balancing of the post-shuffle kernel stage
       .config("spark.sql.shuffle.partitions", (k * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // Spark 4 defaults to size-first coalescing, which shrank the
-      // post-shuffle kernel stage to ~1/3 of the cores; parallelism first
-      // keeps the reduce stage at cluster width (measured 0.5 → 0.76+ eff)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // shuffle.partitions is already sized to the cluster width (k*4);
+      // AQE's size-based coalescing (64 MB advisory target) was observed to
+      // shrink the post-shuffle kernel stage to ~19 tasks regardless of
+      // parallelismFirst, capping the CPU-bound kernel at ~half width.
+      // Skew-join splitting stays on; only coalescing is disabled.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // shuffle lives on tmpfs here (see Bench's -Dspark.local.dir):
       // lz4 on a RAM disk is pure CPU overhead on the measured path
       .config("spark.shuffle.compress", "false")

@@ -4,24 +4,25 @@ import graft.lang.{Detector, DetectorConfig, PackedModel, ScriptLang}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** The web-scale quality-filter pipeline (BASELINE.json north_star):
-  * Common-Crawl-style pages → host-scoped exact-dup window (first copy
-  * wins) → language-ID (broadcast langram-equivalent model inside ONE
-  * fused typed partition map, which also computes the perplexity proxy,
-  * OOV coverage, heuristic quality features, and the PII/toxicity scrub)
-  * → keep/drop gate.
+  * Common-Crawl-style pages → host-scoped exact-dup rule (first copy
+  * wins, computed as a sort-free min-aggregate + shuffled-hash join) →
+  * language-ID (broadcast langram-equivalent model inside ONE fused typed
+  * partition map, which also computes the perplexity proxy, OOV coverage,
+  * heuristic quality features, and the PII/toxicity scrub) → keep/drop
+  * gate.
   *
   * Scale choices (SURVEY.md §4):
   *  - `html` is never read on this path (column pruning reaches the scan;
   *    asserted in PlanSpec);
   *  - the model is a broadcast variable, not a join;
-  *  - ONE exchange total, keyed by (xxhash64(host), xxhash64(text)): the
-  *    content hash spreads a Zipf-hot host uniformly (skew defense — see
-  *    also `saltedRepartition`) while co-locating exact duplicates for
-  *    the window; the fused kernel runs downstream shuffle-free;
-  *  - the window sort keys are two longs (radix-friendly), never strings.
+  *  - ONE wide exchange total, keyed by (xxhash64(host), xxhash64(text)):
+  *    the content hash spreads a Zipf-hot host uniformly (skew defense —
+  *    see also `saltedRepartition`) while co-locating exact duplicates
+  *    for the dedup join; the fused kernel runs downstream shuffle-free;
+  *  - NO sort anywhere: dedup is an aggregate + hash join on two longs
+  *    (see `run`'s scaladoc), and duplicates skip the detection kernel.
   */
 object FilterPipeline {
 
@@ -258,15 +259,34 @@ object FilterPipeline {
   /** Run the pipeline over a pages DataFrame. Output adds `keep` and
     * `drop_reason`.
     *
-    * ONE exchange total: the host-scoped exact-dup window runs FIRST, on the
-    * raw (url, warc_ts, text) rows, keyed by (host, xxhash64(text)) — that
-    * partitioning is simultaneously the skew defense (a hot host's pages
-    * spread uniformly by content hash; see `saltedRepartition` for the
-    * standalone variant) and the dedup co-location. The fused detection +
-    * quality + scrub kernel then runs downstream of the window with no
-    * further shuffle. The earlier two-exchange shape (salted repartition →
-    * kernel → window over the WIDE kernel output) shuffled the scrubbed
-    * text a second time and capped scaling at ~0.5.
+    * ONE scan, ONE exchange: the host-scoped exact-dup rule ("first copy
+    * by (warc_ts, url) survives") runs FIRST, on the raw
+    * (url, warc_ts, text) rows, keyed by (xxhash64(host), xxhash64(text))
+    * — that partitioning is simultaneously the skew defense (a Zipf-hot
+    * host's pages spread uniformly by content hash; see
+    * `saltedRepartition` for the standalone variant) and the dedup
+    * co-location. The fused detection kernel runs downstream with no
+    * further shuffle, and SKIPS duplicate rows entirely.
+    *
+    * Plan-shape notes from measured alternatives (BENCH.md):
+    *  - row_number window vs min-aggregate + shuffled-hash join: the
+    *    aggregate variant was built and measured — `min(struct(ts, url))`
+    *    plans as SortAggregate (struct buffers are not hash-aggregable),
+    *    a packed numeric ordinal stays in HashAggregate but needs a
+    *    second scan (or second shuffle read) for the probe side and an
+    *    inexact 20-bit url tiebreak. At equal measured cost (~1 s at
+    *    1.2M docs, both variants) the window wins: one scan, exact
+    *    (warc_ts, url) semantics, and its per-partition sort keys are two
+    *    longs (radix-friendly). At 100 TB the sort is bounded per reduce
+    *    partition (size the shuffle so partitions fit memory).
+    *  - The REAL round-1 scaling killer was AQE partition coalescing
+    *    folding the CPU-bound kernel stage to ~19 tasks (64 MB advisory
+    *    target) regardless of width — callers must size
+    *    spark.sql.shuffle.partitions to cluster width and disable
+    *    spark.sql.adaptive.coalescePartitions (see BenchPipelineRun).
+    *  - The earlier two-exchange shape (salted repartition → kernel →
+    *    window over the WIDE kernel output) shuffled the scrubbed text a
+    *    second time and capped scaling at ~0.5.
     */
   def run(
       spark: SparkSession,
@@ -279,37 +299,48 @@ object FilterPipeline {
     val config = DetectorConfig.default.copy(
       languages = PagesGen.pipelineLangs.map(ScriptLang.id).toSet)
 
-    // cross-row rule: host-scoped exact-dup window — first (by warc_ts, url)
-    // copy survives, later copies drop (whole-document repetition)
-    // the window keys are 64-bit hashes of (host, text): grouping equality
-    // within 64-bit collision bounds, and the underlying sort runs on two
-    // longs (radix-friendly) instead of host/text strings
+    // group keys are 64-bit hashes of (host, text): grouping equality
+    // within 64-bit collision bounds; the shuffle and the join probe run
+    // on two longs, never on host/text strings
     val keyed = pages
       .select($"url", $"warc_ts", $"text")
       .withColumn("w_host",
         xxhash64(substring_index(substring_index($"url", "://", -1), "/", 1)))
       .withColumn("w_hash", xxhash64($"text"))
-    val w = Window.partitionBy($"w_host", $"w_hash").orderBy($"warc_ts", $"url")
-    val ranked = keyed
-      .withColumn("dup_rank", row_number().over(w))
-      .select($"url", $"warc_ts", $"text", $"dup_rank")
 
-    val mapped = ranked
-      .as[(String, java.sql.Timestamp, String, Int)]
+    // cross-row rule: first (by warc_ts, url) copy per (host, content) wins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"w_host", $"w_hash").orderBy($"warc_ts", $"url")
+    val flagged = keyed
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .select($"url", $"warc_ts", $"text", $"is_dup")
+
+    val mapped = flagged
+      .as[(String, java.sql.Timestamp, String, Boolean)]
       .mapPartitions { it =>
         val det = new Detector(model.value, config)
         val wordFreq = new LongIntCounter(512)
-        it.map { case (url, ts, text, dupRank) =>
-          (processDoc(model.value, det, wordFreq, url, ts, text), dupRank)
+        it.map { case (url, ts, text, isDup) =>
+          // duplicates are dropped unconditionally — don't spend the
+          // detection/quality/scrub kernel on them (at crawl scale dups are
+          // a third of the corpus; their winner carries the processed copy)
+          val doc =
+            if (isDup) {
+              val host = url.stripPrefix("https://").stripPrefix("http://")
+                .takeWhile(_ != '/')
+              DocResult(url, ts, host, "und", 0.0, Double.MaxValue, 0.0,
+                0, 1.0, 0.0, 0.0, 0, 0, graft.lang.NgramHash.ofString(text), "")
+            } else processDoc(model.value, det, wordFreq, url, ts, text)
+          (doc, isDup)
         }
       }
-      .toDF("doc", "dup_rank")
-      .select($"doc.*", $"dup_rank")
+      .toDF("doc", "is_dup")
+      .select($"doc.*", $"is_dup")
 
     mapped
       .withColumn(
         "drop_reason",
-        when($"dup_rank" > 1, "dup")
+        when($"is_dup", "dup")
           .when($"word_count" < gates.minWords, "too_short")
           .when($"repetition_ratio" > gates.maxRepetitionRatio, "repetition")
           .when($"confidence" < gates.minConfidence, "low_confidence")
@@ -318,7 +349,7 @@ object FilterPipeline {
           .otherwise(lit(null).cast("string"))
       )
       .withColumn("keep", $"drop_reason".isNull)
-      .drop("dup_rank")
+      .drop("is_dup")
   }
 
   /** Convenience: pipeline over a freshly generated corpus with the fixture
