@@ -203,6 +203,70 @@ object SparkEntry {
     "q16_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // brute-force 5-gram Jaccard >= 0.7 pair set; the Spark side computes
+    // the SAME set via calibrated MinHash banding + exact verify (TextOps
+    // scaladoc derives the 1e-9 per-pair miss bound)
+    "q17_minhash_pairs" ->
+      """WITH g AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)])) AS gr
+        | FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |       FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM co JOIN sz sa ON sa.doc_id = co.da JOIN sz sb ON sb.doc_id = co.db
+        |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.7""".stripMargin,
+    // simhash recomputed from md5 hex digits: bit 4k+j of the token hash =
+    // bit j of hex digit k (first 15 digits = 60 bits)
+    "q18_simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, md5(w) AS h
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        | WHERE w <> ''),
+        |digits AS (
+        | SELECT doc_id, i, strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS d
+        | FROM toks, generate_series(1, 15) t(i)),
+        |bits AS (
+        | SELECT doc_id, 4 * (i - 1) + j AS b,
+        |  sum(CASE WHEN (d >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM digits, generate_series(0, 3) u(j)
+        | GROUP BY doc_id, 4 * (i - 1) + j)
+        |SELECT doc_id,
+        | sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    // brute-force within-source 5-gram Jaccard >= 0.3; the Spark side is
+    // the prefix-filtered EXACT similarity join (same output set)
+    "q19_ngram_jaccard" ->
+      """WITH g AS (
+        | SELECT doc_id, source,
+        |  unnest(list_distinct([substr(text, i, 5) for i in range(1, length(text) - 3)])) AS gr
+        | FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+        |       FROM g a JOIN g b
+        |       ON a.gr = b.gr AND a.source = b.source AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM co JOIN sz sa ON sa.doc_id = co.da JOIN sz sb ON sb.doc_id = co.db
+        |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.3""".stripMargin,
+    "q24_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        | CASE WHEN length(text) >= 5 THEN
+        |  list_min([md5(substr(text, i, 5)) for i in range(1, length(text) - 3)])
+        | ELSE NULL END AS min_shingle
+        |FROM documents""".stripMargin,
+    "q27_multimodal_features" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS payload_bytes,
+        | (length(text) - length(regexp_replace(text, '[\x01-\x1f]', '', 'g')))::BIGINT AS f0,
+        | (length(text) - length(regexp_replace(text, '[\x20-\x3f]', '', 'g')))::BIGINT AS f1,
+        | (length(text) - length(regexp_replace(text, '[\x40-\x5f]', '', 'g')))::BIGINT AS f2,
+        | (length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g')))::BIGINT AS f3,
+        | 0::BIGINT AS f4, 0::BIGINT AS f5, 0::BIGINT AS f6, 0::BIGINT AS f7
+        |FROM documents""".stripMargin,
     "q20_ann_brute_force" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),

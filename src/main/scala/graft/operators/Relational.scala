@@ -227,16 +227,57 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("matched_view").as("view_event_id"))
   }
 
-  /** Exact interpolated percentiles per group (sort-based aggregate). */
-  def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        round(expr("percentile(l_quantity, 0.25)"), 2).as("qty_p25")
-      )
+  /** Exact interpolated percentiles per group over a VALUE-COUNTS sketch —
+    * the scale-safe replacement for Spark's `percentile`
+    * TypedImperativeAggregate (which buffers every value of a group in one
+    * reducer's memory: with 3 groups, 3 tasks each hold a third of
+    * lineitem — an executor OOM at 100 TB, and 47 s at sf0.1).
+    *
+    * Shape: groupBy(group, value).count() — map-side combined, the shuffle
+    * carries one row per DISTINCT (group, value) — then a window over the
+    * distinct values per group assigns cumulative ranks, and each target
+    * quantile interpolates between the two values bracketing rank
+    * (n−1)·q+1, exactly DuckDB's quantile_cont. Per-group work is bounded
+    * by distinct values, not rows.
+    */
+  def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+
+    /** exact quantile_cont of `v` per `grp` at the named quantiles */
+    def quantileCont(v: String, qs: Seq[(String, Double)]): DataFrame = {
+      val grp = col("l_returnflag")
+      val vc = li.groupBy(grp, col(v).cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wOrd = Window.partitionBy(grp).orderBy(col("v"))
+      val wAll = Window.partitionBy(grp)
+      val ranked = vc
+        .withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      val aggs = qs.flatMap { case (name, q) =>
+        // 1-based continuous rank: pos = (n-1)*q + 1; the quantile sits
+        // between the values at ranks floor(pos) and ceil(pos)
+        val pos = (col("n") - 1) * lit(q)
+        val loRank = floor(pos) + 1
+        val hiRank = ceil(pos) + 1
+        val frac = pos - floor(pos)
+        val loVal = max(when(col("cum") - col("cnt") < loRank && col("cum") >= loRank, col("v")))
+        val hiVal = max(when(col("cum") - col("cnt") < hiRank && col("cum") >= hiRank, col("v")))
+        val fr = max(frac) // frac depends only on n: constant per group
+        Seq((loVal + (hiVal - loVal) * fr).as(name))
+      }
+      ranked.groupBy(grp).agg(aggs.head, aggs.tail: _*)
+    }
+
+    val price = quantileCont("l_extendedprice", Seq("p50_raw" -> 0.5, "p95_raw" -> 0.95))
+    val qty = quantileCont("l_quantity", Seq("qty_p25_raw" -> 0.25))
+    price.join(qty, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        round(col("p50_raw"), 2).as("p50"),
+        round(col("p95_raw"), 2).as("p95"),
+        round(col("qty_p25_raw"), 2).as("qty_p25"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Scalar string function suite (all codegen'd builtins). */
   def q33Strings(spark: SparkSession, sfDir: String): DataFrame =

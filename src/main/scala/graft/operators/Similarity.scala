@@ -233,15 +233,18 @@ object Similarity {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB decode: deterministic byte histogram over 8 buckets as the
-          // "feature vector"; real pipelines swap in an image/audio decoder.
+          // STUB decode: deterministic byte histogram over 8 buckets (byte
+          // >> 5) as the "feature vector"; real pipelines swap in an
+          // image/audio decoder. Counts stay integer and FLAT (f0..f7
+          // scalar columns) so the driver's row hash — and the DuckDB
+          // oracle — can check them exactly.
           val hist = new Array[Long](8)
           var i = 0
           while (i < bytes.length) { hist((bytes(i) & 0xff) >>> 5) += 1; i += 1 }
-          val norm = math.max(1L, bytes.length).toDouble
-          (id, bytes.length.toLong, hist.map(h => math.round(h / norm * 10000.0) / 10000.0))
+          (id, bytes.length.toLong,
+            hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
         }
       }
-      .toDF("doc_id", "payload_bytes", "features")
+      .toDF("doc_id", "payload_bytes", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
   }
 }

