@@ -16,8 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingFilter {
 
-  /** Per-(host,text_hash) dedup state: have we already emitted one? */
-  final case class SeenState(firstUrl: String)
+  /** Per-(host,text_hash) dedup state: first emitted copy + newest copy's
+    * event time (staleness bound for the horizon check).
+    */
+  final case class SeenState(firstUrl: String, newestMs: Long)
 
   def docStream(
       spark: SparkSession,
@@ -46,24 +48,61 @@ object StreamingFilter {
   /** Stateful first-wins dedup + gates; Append-mode output with the same
     * columns as the batch pipeline (dup detection via GroupState instead of
     * a window function).
+    *
+    * State is BOUNDED by an event-time timeout: a (host, text_hash) entry
+    * expires `dedupHorizon` past its newest copy's event time (driven by
+    * the `warc_ts` watermark) — without it, one state entry per distinct
+    * page lives forever and the state store grows without bound at crawl
+    * scale. A duplicate arriving later than the horizon is treated as new
+    * content (the standard bounded-dedup contract, cf.
+    * dropDuplicatesWithinWatermark).
     */
   def filtered(
       docs: Dataset[FilterPipeline.DocResult],
-      gates: FilterPipeline.Gates = FilterPipeline.Gates()
+      gates: FilterPipeline.Gates = FilterPipeline.Gates(),
+      dedupHorizonDays: Int = 7
   ): DataFrame = {
     import docs.sparkSession.implicits._
+    val horizonMs = dedupHorizonDays.toLong * 86400000L
 
     val deduped = docs
+      .withWatermark("warc_ts", "2 days")
       .groupByKey(d => (d.host, d.text_hash))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (_: (String, Long), rows: Iterator[FilterPipeline.DocResult],
          state: GroupState[SeenState]) => {
-          val buf = rows.toSeq.sortBy(d => (d.warc_ts.getTime, d.url))
-          if (buf.isEmpty) Iterator.empty
-          else if (state.exists) buf.iterator.map(d => (d, 2))
-          else {
-            state.update(SeenState(buf.head.url))
-            Iterator.single((buf.head, 1)) ++ buf.tail.iterator.map(d => (d, 2))
+          if (state.hasTimedOut) {
+            // idle key: the watermark passed newest + horizon with no data
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = rows.toSeq.sortBy(d => (d.warc_ts.getTime, d.url))
+            if (buf.isEmpty) Iterator.empty
+            else {
+              // EventTimeTimeout only fires for keys with NO data in the
+              // batch — a key receiving data past its horizon must detect
+              // its own staleness and start a fresh dedup generation
+              val stale = state.getOption.exists(s =>
+                state.getCurrentWatermarkMs() > s.newestMs + horizonMs)
+              if (stale) state.remove()
+              val newest = math.max(
+                buf.map(_.warc_ts.getTime).max,
+                state.getOption.map(_.newestMs).getOrElse(Long.MinValue))
+              val out =
+                if (state.exists) {
+                  state.update(state.get.copy(newestMs = newest))
+                  buf.iterator.map(d => (d, 2))
+                } else {
+                  state.update(SeenState(buf.head.url, newest))
+                  Iterator.single((buf.head, 1)) ++ buf.tail.iterator.map(d => (d, 2))
+                }
+              // keep the entry alive until horizon past the newest copy
+              // (clamped above the watermark: very-late data would otherwise
+              // set an already-passed timeout, which Spark rejects)
+              state.setTimeoutTimestamp(
+                math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1))
+              out
+            }
           }
         }
       )

@@ -38,6 +38,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff keep-decision mismatches between streaming and batch")
   }
 
+  test("dedup state expires on the event-time horizon (bounded state store)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-t").toString
+    val pagesDir = s"$tmp/pages"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(pagesDir))
+    val bc = LangOps.broadcastModel(spark)
+
+    def page(url: String, day: Int, text: String) = PagesGen.Page(
+      url, java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2025, 6, day, 0, 0, 0)),
+      PagesGen.wrapHtml(url, text), text, "eng")
+    val body = ("the house of water and world people time year good know " * 5).trim
+
+    // batch 1: the original page
+    spark.createDataset(Seq(page("https://h.example.org/a", 1, body)))
+      .write.mode("append").parquet(pagesDir)
+    val q = StreamingFilter.start(spark, pagesDir, bc, "stream_ttl", s"$tmp/ckpt")
+    q.processAllAvailable()
+    // batch 2: far-future traffic pushes the watermark past day1 + horizon
+    spark.createDataset(Seq(page("https://h.example.org/later", 28, body + " later")))
+      .write.mode("append").parquet(pagesDir)
+    q.processAllAvailable()
+    // batch 3: an exact duplicate of the day-1 page, arriving after expiry —
+    // bounded-dedup contract: it is treated as NEW content, not a dup
+    spark.createDataset(Seq(page("https://h.example.org/b", 27, body)))
+      .write.mode("append").parquet(pagesDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("stream_ttl")
+      .select($"url", $"drop_reason").as[(String, String)].collect().toMap
+    assert(out.size == 3)
+    assert(out("https://h.example.org/a") == null)
+    assert(out("https://h.example.org/b") != "dup",
+      s"expired (host, hash) state must not mark later copies dup: $out")
+  }
+
   test("watermarked metrics stream aggregates per day and language") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-m").toString
     val pagesDir = s"$tmp/pages"
