@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward stdin to the forked app (CLI detector reads stdin when argv is
+// empty) and pin UTF-8: the sandbox locale is unset (POSIX C), under which
+// the JVM would otherwise decode argv/stdio as ASCII
+run / connectInput := true
+javaOptions ++= Seq(
+  "-Dfile.encoding=UTF-8",
+  "-Dsun.stdout.encoding=UTF-8",
+  "-Dsun.jnu.encoding=UTF-8",
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

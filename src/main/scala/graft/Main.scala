@@ -9,9 +9,11 @@ import graft.train.FixtureCorpus
   */
 object Main {
   def main(args: Array[String]): Unit = {
+    // read stdin as UTF-8 explicitly: the sandbox runs with an unset locale
+    // (POSIX C), where the platform default charset would mangle non-ASCII
     val text =
       if (args.nonEmpty) args.mkString(" ")
-      else scala.io.Source.stdin.getLines().mkString("\n")
+      else scala.io.Source.fromInputStream(System.in, "UTF-8").getLines().mkString("\n")
     val det = new Detector(FixtureCorpus.model, DetectorConfig.default)
     val top = det.detectTopOneReordered(text).map(ScriptLang.code).getOrElse("<none>")
     println(s"top: $top")

@@ -99,7 +99,43 @@ object ScriptLang {
       "isl" -> latin("áðéíóúýþæö"),
       "cat" -> latin("àéèíïóòúüç"),
       "cja" -> scriptOnly("CHAM"), // Cham Eastern (no model; prefilter-only)
-      "cjm" -> scriptOnly("CHAM")  // Cham Western
+      "cjm" -> scriptOnly("CHAM"), // Cham Western
+      // ---- breadth extension toward the reference's 188-model set ----
+      // (round 2; popularity-ordered APPEND keeps existing ordinals stable
+      // — relative order among the pre-existing languages is the reorder
+      // contract, and these all rank below by the same approximate-speaker
+      // measure within the fixture world)
+      "ind" -> latin(""),                 // Indonesian
+      "pes" -> (Set("ARABIC"), cps("ابپتثجچحخدذرزژسشصضطظعغفقکگلمنوهیءآأؤئة")), // Persian
+      "tam" -> scriptOnly("TAMIL"),
+      "tel" -> scriptOnly("TELUGU"),
+      "pan" -> scriptOnly("GURMUKHI"),    // Punjabi Eastern
+      "hau" -> latin("ɓɗƙƴ"),             // Hausa (boko)
+      "swh" -> latin(""),                 // Swahili
+      "tha" -> scriptOnly("THAI"),
+      "guj" -> scriptOnly("GUJARATI"),
+      "kan" -> scriptOnly("KANNADA"),
+      "mal" -> scriptOnly("MALAYALAM"),
+      "ori" -> scriptOnly("ORIYA"),       // Odia
+      "mya" -> scriptOnly("MYANMAR"),     // Burmese
+      "amh" -> scriptOnly("ETHIOPIC"),    // Amharic
+      "ibo" -> latin("ịọụṅ"),             // Igbo
+      "tgl" -> latin("ñ"),                // Tagalog
+      "sin" -> scriptOnly("SINHALA"),
+      "khm" -> scriptOnly("KHMER"),
+      "som" -> latin(""),                 // Somali
+      "zul" -> latin(""),                 // Zulu
+      "srp" -> cyr("абвгдђежзијклљмнњопрстћуфхцчџш"), // Serbian (Cyrillic)
+      "tgk" -> cyr("абвгғдеёжзиӣйклмнопрстуӯфхҳчҷшъэюяқ"), // Tajik
+      "afr" -> latin("êëïôöûáéíóúèù"),    // Afrikaans
+      "lao" -> scriptOnly("LAO"),
+      "hye" -> scriptOnly("ARMENIAN"),    // Armenian
+      "kat" -> scriptOnly("GEORGIAN"),    // Georgian
+      "gle" -> latin("áéíóú"),            // Irish
+      "cym" -> latin("ŵŷâêîôû"),          // Welsh
+      "eus" -> latin("ñ"),                // Basque
+      "div" -> scriptOnly("THAANA"),      // Dhivehi
+      "bod" -> scriptOnly("TIBETAN")      // Tibetan
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)
@@ -125,43 +161,50 @@ object ScriptLang {
     Character.UnicodeScript.of(cp).name
 
   // Membership tables, precomputed for the hot loop ------------------------
-  // The registry has ≤ 64 languages, so per-code-point membership is ONE
-  // Long bitmask (bit i = language id i belongs). A direct BMP table
-  // (65536 longs, 512 KB, built once per JVM) makes the per-char prefilter
-  // a single array load — the Spark-scale answer to calling
-  // Character.UnicodeScript + Set.contains per char per language.
+  // Per-code-point membership is a TWO-Long bitmask (bit i of word i/64 =
+  // language id i belongs) — the registry outgrew 64 languages in round 2.
+  // A direct BMP table (2 × 65536 longs, 1 MB, built once per JVM) makes
+  // the per-char prefilter two array loads — the Spark-scale answer to
+  // calling Character.UnicodeScript + Set.contains per char per language.
 
-  require(count <= 64, "language bitmask requires <= 64 languages")
+  require(count <= 128, "language bitmask requires <= 128 languages (2 longs)")
 
-  private def computeMask(cp: Int): Long = {
+  private def computeMaskWord(cp: Int, word: Int): Long = {
     var mask = 0L
     val script = scriptOf(cp)
-    var i = 0
-    while (i < count) {
+    val lo = word * 64
+    val hi = math.min(count, lo + 64)
+    var i = lo
+    while (i < hi) {
       val l = all(i)
       val member =
         if (l.alphabet.nonEmpty) l.alphabet.contains(cp)
         else l.scripts.contains(script)
-      if (member) mask |= (1L << i)
+      if (member) mask |= (1L << (i - lo))
       i += 1
     }
     mask
   }
 
-  private lazy val bmpMask: Array[Long] = {
+  private lazy val bmpMask0: Array[Long] = buildBmp(0)
+  private lazy val bmpMask1: Array[Long] = buildBmp(1)
+
+  private def buildBmp(word: Int): Array[Long] = {
     val t = new Array[Long](0x10000)
     var cp = 0
     while (cp < 0x10000) {
       if (!Character.isSurrogate(cp.toChar) && Character.isLetter(cp))
-        t(cp) = computeMask(cp)
+        t(cp) = computeMaskWord(cp, word)
       cp += 1
     }
     t
   }
 
-  /** Language-membership bitmask of a code point. */
+  /** Language-membership bitmask words of a code point (ids 0..63 / 64..127). */
   @inline def maskOf(cp: Int): Long =
-    if (cp < 0x10000) bmpMask(cp) else computeMask(cp)
+    if (cp < 0x10000) bmpMask0(cp) else computeMaskWord(cp, 0)
+  @inline def maskOfHi(cp: Int): Long =
+    if (cp < 0x10000) bmpMask1(cp) else computeMaskWord(cp, 1)
 
   /** True iff code point `cp` belongs to language `langId`'s orthography:
     * explicit-alphabet langs check the alphabet set; script-only langs check
@@ -170,16 +213,23 @@ object ScriptLang {
     * src/detector/mod.rs:235.
     */
   def belongs(langId: Int, cp: Int): Boolean =
-    ((maskOf(cp) >>> langId) & 1L) == 1L
+    if (langId < 64) ((maskOf(cp) >>> langId) & 1L) == 1L
+    else ((maskOfHi(cp) >>> (langId - 64)) & 1L) == 1L
 
   /** All languages a code point can belong to (for tests/diagnostics). */
   def langsOfCp(cp: Int): Array[Int] = {
-    var mask = maskOf(cp)
-    val out = new Array[Int](java.lang.Long.bitCount(mask))
+    var lo = maskOf(cp)
+    var hi = maskOfHi(cp)
+    val out = new Array[Int](java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
     var i = 0
-    while (mask != 0L) {
-      out(i) = java.lang.Long.numberOfTrailingZeros(mask)
-      mask &= mask - 1
+    while (lo != 0L) {
+      out(i) = java.lang.Long.numberOfTrailingZeros(lo)
+      lo &= lo - 1
+      i += 1
+    }
+    while (hi != 0L) {
+      out(i) = 64 + java.lang.Long.numberOfTrailingZeros(hi)
+      hi &= hi - 1
       i += 1
     }
     out

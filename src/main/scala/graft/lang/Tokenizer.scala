@@ -134,10 +134,16 @@ object Tokenizer {
     var i = 0
     val n = buf.totalCps
     while (i < n) {
-      var mask = ScriptLang.maskOf(buf.cps(i))
+      val cp = buf.cps(i)
+      var mask = ScriptLang.maskOf(cp)
       while (mask != 0L) {
         counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
         mask &= mask - 1
+      }
+      var hi = ScriptLang.maskOfHi(cp)
+      while (hi != 0L) {
+        counts(64 + java.lang.Long.numberOfTrailingZeros(hi)) += 1
+        hi &= hi - 1
       }
       i += 1
     }
@@ -175,11 +181,17 @@ object Tokenizer {
       val cpsArr = ws(w).cps
       var i = 0
       while (i < cpsArr.length) {
-        // one bitmask load per char; iterate only the set bits
-        var mask = ScriptLang.maskOf(cpsArr(i))
+        // two bitmask loads per char; iterate only the set bits
+        val cp = cpsArr(i)
+        var mask = ScriptLang.maskOf(cp)
         while (mask != 0L) {
           counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
           mask &= mask - 1
+        }
+        var hi = ScriptLang.maskOfHi(cp)
+        while (hi != 0L) {
+          counts(64 + java.lang.Long.numberOfTrailingZeros(hi)) += 1
+          hi &= hi - 1
         }
         i += 1
       }

