@@ -390,16 +390,49 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     if (probs.isEmpty) None else Some(reorderPick(probs, 0.0))
   }
 
+  /** Softmax relative probability of `lang` over the LAST detectInPlace
+    * result — `relativize` without the buffer allocation, same special
+    * cases (src/detector/mod.rs:467-510). Shared by detectWithConfidence
+    * and the pipeline kernel so the edge cases cannot drift apart.
+    */
+  def confidenceOfInPlace(lang: Int): Double = {
+    if (resN == 0) return 0.0
+    val first = resProbs(0)
+    if (first == 0.0) {
+      // only the zero-prob langs survive relativization, uniformly
+      var zeros = 0
+      var pickIsZero = false
+      var i = 0
+      while (i < resN && resProbs(i) == 0.0) {
+        if (resLangs(i) == lang) pickIsZero = true
+        zeros += 1; i += 1
+      }
+      if (pickIsZero) 1.0 / zeros else 0.0
+    } else if (first == Double.NegativeInfinity) {
+      1.0 / resN
+    } else {
+      var denom = 0.0
+      var p = first
+      var i = 0
+      while (i < resN) {
+        val pi = resProbs(i)
+        denom += math.exp(pi)
+        if (resLangs(i) == lang) p = pi
+        i += 1
+      }
+      if (denom == 0.0) { if (lang == resLangs(0)) 1.0 else 0.0 }
+      else math.exp(p) / denom
+    }
+  }
+
   /** (langCode, top-1 relative confidence) convenience for pipeline columns.
-    * Single detection pass: reordered pick + its softmax relative prob.
+    * Single allocation-free detection pass: reordered pick + its softmax
+    * relative prob.
     */
   def detectWithConfidence(text: String): (String, Double) = {
-    val probs = probabilities(text)
-    if (probs.isEmpty) return ("und", 0.0)
-    val best = reorderPick(probs, defaultReorderDistance)
-    // softmax confidence of the pick (src/detector/mod.rs:467-510)
-    val rel = relativize(probs)
-    val conf = rel.find(_.langId == best).map(_.prob).getOrElse(0.0)
-    (ScriptLang.code(best), conf)
+    val n = detectInPlace(text)
+    if (n == 0) return ("und", 0.0)
+    val best = reorderPickInPlace(defaultReorderDistance)
+    (ScriptLang.code(best), confidenceOfInPlace(best))
   }
 }

@@ -148,6 +148,24 @@ final class PackedModel(
 ) extends Serializable {
   def isStopword(langId: Int, wordHash: Long): Boolean =
     java.util.Arrays.binarySearch(stopwordHashes(langId), wordHash) >= 0
+
+  /** Approximate broadcast footprint in bytes (primitive array payloads) —
+    * the number that matters when sizing the executor-side model at
+    * 188-language scale.
+    */
+  def footprintBytes: Long = {
+    def table(t: ProbTable): Long =
+      t.keys.length.toLong * 8 + t.starts.length.toLong * 4 +
+        t.lens.length.toLong * 4 + t.postLangs.length.toLong * 2 +
+        t.postProbs.length.toLong * 4
+    charTables.map(table).sum + table(wordTable) +
+      charFloors.length.toLong * 8 +
+      stopwordHashes.map(_.length.toLong * 8).sum
+  }
+
+  /** total distinct n-gram entries across all tables */
+  def entryCount: Long =
+    charTables.map(_.size.toLong).sum + wordTable.size.toLong
 }
 
 object PackedModel {

@@ -156,35 +156,9 @@ object FilterPipeline {
       if (nRanked > 0) {
         val best = det.reorderPickInPlace(det.defaultReorderDistance)
         lang = ScriptLang.code(best)
-        // softmax (same special cases as Detector.relativize)
+        // softmax relative prob (Detector owns the relativize edge cases)
+        conf = det.confidenceOfInPlace(best)
         val first = det.resultProb(0)
-        if (first == 0.0) {
-          // mirror detectWithConfidence/relativize: only the zero-prob langs
-          // survive relativization, each at 1/zeros — a reorder pick from
-          // OUTSIDE the zero set (0 > p >= -d) relativizes to 0.0
-          var zeros = 0
-          var pickIsZero = false
-          var i = 0
-          while (i < nRanked && det.resultProb(i) == 0.0) {
-            if (det.resultLang(i) == best) pickIsZero = true
-            zeros += 1; i += 1
-          }
-          conf = if (pickIsZero) 1.0 / zeros else 0.0
-        } else if (first == Double.NegativeInfinity) {
-          conf = 1.0 / nRanked
-        } else {
-          var denom = 0.0
-          var bestP = first
-          var i = 0
-          while (i < nRanked) {
-            val p = det.resultProb(i)
-            denom += math.exp(p)
-            if (det.resultLang(i) == best) bestP = p
-            i += 1
-          }
-          conf = if (denom == 0.0) { if (best == det.resultLang(0)) 1.0 else 0.0 }
-                 else math.exp(bestP) / denom
-        }
         perplexity =
           if (first == Double.NegativeInfinity) Double.MaxValue
           else math.exp(-first)

@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object ModelIO {
 
+  /** One output file per (lang, size): `repartition` on the partition
+    * columns keeps writes parallel across languages (the old
+    * `repartition(1)` funneled the whole model through a single task —
+    * fine for fixtures, a serial choke at 188-language scale) while still
+    * producing one file per lang directory instead of one per shuffle
+    * partition.
+    */
   def write(model: DataFrame, path: String): Unit =
     model
       .withColumn("schema_hash", lit(PackedModel.registryHash))
-      .repartition(1)
+      .repartition(col("lang"), col("size"))
       .write.mode("overwrite")
       .partitionBy("lang")
       .parquet(path)

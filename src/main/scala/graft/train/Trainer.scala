@@ -17,6 +17,19 @@ import scala.collection.mutable
   *    if either lower-gram is absent;
   *  - stored probability = ln(fraction) (applied at load in the reference,
   *    train/src/file_model.rs:111-115).
+  *
+  * On the reference's EXACT-FRACTION grouping (O23,
+  * train/src/fraction.rs:10-27, training_model.rs:40-64): the reference
+  * groups n-grams by reduced `GenericFraction` before serialization so
+  * equal relative frequencies share one stored value. Reproducing the
+  * grouping is unnecessary for VALUE equality: counts are exact in an
+  * IEEE double (< 2^53), and correctly-rounded division of the same
+  * rational value returns the same double — so `freq/min` is already
+  * bit-identical across any (a·k)/(b·k) representation of the same
+  * fraction, and `math.log` of equal doubles is equal. The grouping only
+  * buys the reference serialization compactness (its bespoke binary
+  * format); our Parquet encoding dictionary-compresses repeated doubles
+  * for free. Property-tested in TrainerSpec.
   */
 object Trainer {
 

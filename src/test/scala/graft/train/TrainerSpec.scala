@@ -27,6 +27,28 @@ class TrainerSpec extends AnyFunSuite {
     assert(ms(5).contains("señor"))
   }
 
+  test("O23 fraction exactness: equal reduced fractions give bit-identical logprobs") {
+    // the reference groups n-grams by exact GenericFraction before ln
+    // (train/src/fraction.rs:10-27); double division of exact integer
+    // counts is already value-exact for equal fractions, so the grouping
+    // is a serialization concern only (Trainer scaladoc derivation)
+    val rng = new FixtureCorpus.Rng(0xf4ac7L)
+    (1 to 20000).foreach { _ =>
+      val a = 1L + (rng.nextLong() >>> 44) // < 2^20
+      val b = 1L + (rng.nextLong() >>> 44)
+      val k = 1L + (rng.nextLong() >>> 44)
+      val direct = math.log(a.toDouble / b.toDouble)
+      val scaled = math.log((a * k).toDouble / (b * k).toDouble)
+      assert(java.lang.Double.doubleToLongBits(direct) ==
+        java.lang.Double.doubleToLongBits(scaled), s"a=$a b=$b k=$k")
+    }
+    // spot checks at the trainer's own call shape
+    assert(java.lang.Double.doubleToLongBits(math.log(3.0 / 9.0)) ==
+      java.lang.Double.doubleToLongBits(math.log(1.0 / 3.0)))
+    assert(java.lang.Double.doubleToLongBits(math.log(7.0 / 21.0)) ==
+      java.lang.Double.doubleToLongBits(math.log(5.0 / 15.0)))
+  }
+
   test("fixture model separates its languages on held-out phrases") {
     val det = new Detector(FixtureCorpus.model, DetectorConfig.default)
     def top(text: String): String =
