@@ -130,7 +130,13 @@ object SnapshotStore {
     val store = new SnapshotStore(outRoot)
     val done = store.committedPartitions()
 
-    val pages = spark.read.parquet(pagesPath)
+    val raw = spark.read.parquet(pagesPath)
+    // hidden-partitioning stand-in: accept either a physical p_date= layout
+    // or a raw table (partition derived from warc_ts, like Iceberg's
+    // days(warc_ts) transform)
+    val pages =
+      if (raw.columns.contains("p_date")) raw
+      else raw.withColumn("p_date", date_format($"warc_ts", "yyyy-MM-dd"))
     val allParts = pages.select($"p_date").distinct().as[String].collect().sorted
     val todo = allParts.filterNot(done)
     if (todo.isEmpty) return Seq.empty
