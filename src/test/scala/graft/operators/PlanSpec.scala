@@ -70,4 +70,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.q20AnnBruteForce(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q32: percentiles plan has no whole-group-buffering aggregate") {
+    // the value-counts + rank-interpolation rewrite must never reintroduce
+    // Spark's Percentile TypedImperativeAggregate (ObjectHashAggregate /
+    // SortAggregate over a per-group value buffer — an OOM at 100 TB)
+    val p = plan(Relational.q32Percentiles(spark, sf))
+    assert(!p.contains("percentile"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("HashAggregate"), p) // the distinct-value count agg
+    assert(p.contains("Window"), p)        // cumulative ranks over distinct values
+  }
 }
