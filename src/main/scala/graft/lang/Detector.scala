@@ -16,9 +16,29 @@ final case class DetectorConfig(
   /** Faster, lower accuracy (reference: src/detector/builder.rs:92-106). */
   def maxTrigrams: DetectorConfig =
     copy(shortSizes = Array(0, 1, 2, 5), longSizes = Array(2, 5))
+
+  // builder surface parity (reference: src/detector/builder.rs:63-90):
+  // `*_ngrams` REPLACES the size set, `*_ngrams_add` MERGES into it;
+  // both keep the set sorted-unique in ordinal order (the merge test at
+  // src/ngram_size.rs:60-85), which also preserves the detector's
+  // "wordgrams last" iteration invariant.
+  def longNgrams(sizes: Int*): DetectorConfig =
+    copy(longSizes = DetectorConfig.mergedSizes(Array.emptyIntArray, sizes))
+  def shortNgrams(sizes: Int*): DetectorConfig =
+    copy(shortSizes = DetectorConfig.mergedSizes(Array.emptyIntArray, sizes))
+  def longNgramsAdd(sizes: Int*): DetectorConfig =
+    copy(longSizes = DetectorConfig.mergedSizes(longSizes, sizes))
+  def shortNgramsAdd(sizes: Int*): DetectorConfig =
+    copy(shortSizes = DetectorConfig.mergedSizes(shortSizes, sizes))
 }
 
 object DetectorConfig {
+  /** sorted-unique merge of n-gram size sets (0..4 = uni..five, 5 = word) */
+  def mergedSizes(base: Array[Int], add: Seq[Int]): Array[Int] = {
+    add.foreach(s => require(s >= 0 && s <= 5, s"ngram size out of range: $s"))
+    (base ++ add).distinct.sorted
+  }
+
   /** Defaults: all languages; short = uni..five+word, long = tri..five+word;
     * 120-char switch (reference: src/detector/mod.rs:51-79,
     * src/detector/builder.rs:24).

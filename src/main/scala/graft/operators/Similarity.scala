@@ -15,15 +15,13 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** cosine(a, b) computed in double precision, left-to-right summation —
-    * bit-identical to the DuckDB oracle's list_cosine_similarity on
-    * DOUBLE[].
+    * bit-identical to the DuckDB oracle's list_dot_product formulation.
+    * Backed by the native codegen expression (graft.functions.CosineSim):
+    * one primitive loop per row instead of interpreted higher-order
+    * lambdas per element.
     */
-  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.CosineSim(a, b)
 
   /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) broadcast
     * against the corpus; per-query top-5 via TakeOrdered-style window.

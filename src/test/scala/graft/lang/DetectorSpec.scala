@@ -112,4 +112,18 @@ class DetectorSpec extends AnyFunSuite {
     val results = (1 to 100).map(_ => d.detectTopOneRaw("Alter")).toSet
     assert(results.size == 1)
   }
+
+  test("builder: ngram-size set replace + sorted-unique merge") {
+    // mirrors the reference's merge test (src/ngram_size.rs:60-85):
+    // {Tri,Bi} merged with {Five,Uni,Bi,Quadri,Word} → all six, in order
+    val base = DetectorConfig.default.longNgrams(2, 1)
+    assert(base.longSizes.toSeq == Seq(1, 2))
+    val merged = base.longNgramsAdd(4, 0, 1, 3, 5)
+    assert(merged.longSizes.toSeq == Seq(0, 1, 2, 3, 4, 5))
+    // replace semantics: shortNgrams discards the previous set
+    assert(merged.shortNgrams(5, 2).shortSizes.toSeq == Seq(2, 5))
+    // the merged config still detects (wordgrams-last invariant holds)
+    val d = new Detector(model, merged.withLanguages("eng", "deu"))
+    assert(d.detectTopOneRaw("Alter").map(ScriptLang.code).contains("deu"))
+  }
 }
