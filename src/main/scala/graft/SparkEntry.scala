@@ -54,6 +54,7 @@ object SparkEntry {
     "q26_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.q26LshAnn(s, d)),
     "q30_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.q30IvfAnn(s, d)),
     "q27_multimodal_features" -> (Similarity.q27MultimodalFeatures _),
+    "q37_frame_sample" -> ((s: SparkSession, d: String) => Similarity.q37FrameSample(s, d)),
     // the full quality-filter pipeline over a generated pages corpus
     "q28_pipeline_filter" -> ((s: SparkSession, _: String) =>
       graft.pipeline.FilterPipeline.runGenerated(s, 3000)),
@@ -267,6 +268,14 @@ object SparkEntry {
         | (length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g')))::BIGINT AS f3,
         | 0::BIGINT AS f4, 0::BIGINT AS f5, 0::BIGINT AS f6, 0::BIGINT AS f7
         |FROM documents""".stripMargin,
+    // VARCHAR slicing == binary slicing for the ASCII synthetic payloads
+    // (the Spark side slices the real BINARY column)
+    "q37_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+        | (i * strlen(text) // 4) + 1 AS frame_offset,
+        | md5(substr(text, (i * strlen(text) // 4) + 1, 16)) AS frame_md5
+        |FROM documents, generate_series(0, 3) t(i)
+        |WHERE (i * strlen(text) // 4) + 16 <= strlen(text)""".stripMargin,
     "q20_ann_brute_force" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),

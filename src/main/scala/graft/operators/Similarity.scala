@@ -259,6 +259,36 @@ object Similarity {
     * container); the Spark-side contract — binary column, metadata struct,
     * partition-batched map, fixed-length feature vector — is real.
     */
+  /** Multimodal frame sampling (driver-spec addition): K evenly spaced
+    * fixed-width BINARY windows per payload — the video-frame-sample /
+    * audio-chunk shape — each fingerprinted. Fully declarative: explode a
+    * frame-index sequence, slice the binary column (Spark's substring
+    * works on BinaryType), md5 per frame; all codegen, no UDF. The real
+    * decoder is stubbed exactly like q27 (no media libs in the sandbox);
+    * the DuckDB oracle exploits that the synthetic payloads are ASCII so
+    * VARCHAR slicing is byte-identical to the binary slicing.
+    */
+  def q37FrameSample(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 4,
+      window: Int = 16
+  ): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .select($"doc_id", $"payload",
+        explode(sequence(lit(0), lit(k - 1))).as("frame_idx"))
+      .withColumn("frame_offset",
+        (floor($"frame_idx" * length($"payload") / k) + 1).cast("long"))
+      .filter($"frame_offset" + (window - 1) <= length($"payload"))
+      .select(
+        $"doc_id",
+        $"frame_idx".cast("long").as("frame_idx"),
+        $"frame_offset",
+        md5(expr(s"substring(payload, frame_offset, $window)")).as("frame_md5"))
+  }
+
   def q27MultimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
