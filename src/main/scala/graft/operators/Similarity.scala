@@ -259,6 +259,77 @@ object Similarity {
     * container); the Spark-side contract — binary column, metadata struct,
     * partition-batched map, fixed-length feature vector — is real.
     */
+  /** Embedding-cosine NEAR-DUP pairs (the similarity-dedup shape of the
+    * training-data pipeline): all pairs with cosine ≥ threshold, found via
+    * the same multi-table hyperplane-LSH machinery as q26 — per-bucket
+    * home×home products plus Hamming-1 probe×home products, exact-cosine
+    * verified, distinct across tables. At a high threshold the multiprobe
+    * catch probability per pair is ~1−3e-7 per table pair-of-signatures
+    * (4 tables), so the output matches the brute-force threshold set with
+    * overwhelming probability — asserted exactly on planted near-dups in
+    * SimilaritySpec. The synthetic embeddings table has no planted
+    * near-dup pairs (max pairwise cos 0.6), so this ships as an operator +
+    * spec rather than a degenerate 0-row oracle query.
+    */
+  def cosineNearDupPairs(
+      spark: SparkSession,
+      emb: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      threshold: Double
+  ): DataFrame = {
+    import spark.implicits._
+    val planes = planesFor(emb.count())
+
+    val probes = emb.flatMap { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      (0 until NTables).iterator.flatMap { t =>
+        val sig = lshSignature(vf, planes, t)
+        val base = t.toLong << 32
+        Iterator.single((base | sig.toLong, id, v, true)) ++
+          (0 until planes).iterator.map(b => (base | (sig ^ (1 << b)).toLong, id, v, false))
+      }
+    }
+
+    probes
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"_4".desc) {
+        (_: Long, rows: Iterator[(Long, Long, Array[Double], Boolean)]) =>
+          val home = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)](TargetBucket)
+          val buffered = rows.buffered
+          while (buffered.hasNext && buffered.head._4) {
+            val (_, id, v, _) = buffered.next()
+            var n = 0.0
+            var i = 0
+            while (i < v.length) { n += v(i) * v(i); i += 1 }
+            home += ((id, v, math.sqrt(n)))
+          }
+          def pairsOf(id: Long, v: Array[Double], onlyGreater: Boolean): Iterator[(Long, Long, Double)] = {
+            var qn = 0.0
+            var i = 0
+            while (i < v.length) { qn += v(i) * v(i); i += 1 }
+            val qNorm = math.sqrt(qn)
+            home.iterator.flatMap { case (hid, hv, hn) =>
+              if (hid == id || (onlyGreater && hid < id)) Iterator.empty
+              else {
+                var dot = 0.0
+                var d = 0
+                while (d < v.length) { dot += v(d) * hv(d); d += 1 }
+                val cos = dot / (qNorm * hn)
+                if (cos >= threshold)
+                  Iterator.single((math.min(id, hid), math.max(id, hid), cos))
+                else Iterator.empty
+              }
+            }
+          }
+          // home×home once per unordered pair; probe×home both orders fold
+          // to (min,max) and dedup below
+          home.iterator.flatMap { case (id, v, _) => pairsOf(id, v, onlyGreater = true) } ++
+            buffered.flatMap { case (_, id, v, _) => pairsOf(id, v, onlyGreater = false) }
+      }
+      .toDF("doc_a", "doc_b", "cos")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(round(max($"cos"), 6).as("cos"))
+  }
+
   /** Multimodal frame sampling (driver-spec addition): K evenly spaced
     * fixed-width BINARY windows per payload — the video-frame-sample /
     * audio-chunk shape — each fingerprinted. Fully declarative: explode a

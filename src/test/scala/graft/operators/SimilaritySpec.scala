@@ -61,6 +61,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall@1 $recall below floor")
   }
 
+  test("cosine near-dup pairs: LSH output equals the brute-force threshold set") {
+    import spark.implicits._
+    // planted corpus: 300 random unit-ish vectors + 20 noisy near-copies
+    // (cos >= ~0.99); deterministic xorshift seed
+    val rng = new graft.train.FixtureCorpus.Rng(0xced0c5L)
+    def vec(): Array[Float] =
+      Array.fill(64)((rng.nextLong() >>> 40).toFloat / (1L << 24) - 0.5f)
+    val base = (0L until 300L).map(i => (i, vec()))
+    val dups = (0 until 20).map { j =>
+      val (srcId, v) = base(j * 7)
+      val noisy = v.map(x => x + ((rng.nextLong() >>> 40).toFloat / (1L << 24) - 0.5f) * 0.02f)
+      (1000L + srcId, noisy)
+    }
+    val emb = spark.createDataset(base ++ dups)
+
+    val found = Similarity.cosineNearDupPairs(spark, emb, threshold = 0.95)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+
+    // brute-force oracle over the same data
+    val df = emb.toDF("vec_id", "v").withColumn("v", col("v").cast("array<double>"))
+    val exact = df.as("a").join(df.as("b"), expr("a.vec_id < b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosineCol(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.95)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+
+    assert(exact.size >= 20, s"fixture must plant near-dups, got ${exact.size}")
+    assert(found == exact,
+      s"missing=${(exact -- found).take(5)} spurious=${(found -- exact).take(5)}")
+  }
+
   test("q26 bucket width scales with corpus size") {
     assert(Similarity.planesFor(64) == 2)
     assert(Similarity.planesFor(4096) == 6)
