@@ -135,7 +135,29 @@ object ScriptLang {
       "cym" -> latin("ŵŷâêîôû"),          // Welsh
       "eus" -> latin("ñ"),                // Basque
       "div" -> scriptOnly("THAANA"),      // Dhivehi
-      "bod" -> scriptOnly("TIBETAN")      // Tibetan
+      "bod" -> scriptOnly("TIBETAN"),     // Tibetan
+      // ---- second breadth batch (round 2): Turkic/Iranic Cyrillic +
+      // Arabic-script, Latin Africa/SEA/Creole, and same-script races
+      // (Devanagari + Bengali + Ethiopic gain a second modeled language)
+      "kir" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёңөү"),   // Kyrgyz
+      "tat" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәөүһҗң"), // Tatar
+      "bak" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәөүһңҡғҫҙ"), // Bashkir
+      "chv" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӑӗҫӳ"),  // Chuvash
+      "uig" -> (Set("ARABIC"), cps("ئابپتجچحخدرزژسشغفقكگلمنھوۇۆۈۋېىيەڭ")), // Uyghur
+      "ckb" -> (Set("ARABIC"), cps("ئابپتجچحخدرڕزژسشعغفڤقكکگلڵمنهھوۆیێە")), // Kurdish Sorani
+      "mlt" -> latin("ċġħżàèìòù"),        // Maltese
+      "tuk" -> latin("äçöşüýžň"),         // Turkmen
+      "uzn" -> latin("ʻ"),                // Uzbek (Latin, oʻ/gʻ with U+02BB)
+      "ceb" -> latin(""),                 // Cebuano
+      "hat" -> latin("èò"),               // Haitian Creole
+      "jav" -> latin("éè"),               // Javanese (Latin)
+      "sna" -> latin(""),                 // Shona
+      "nya" -> latin(""),                 // Chichewa
+      "kin" -> latin(""),                 // Kinyarwanda
+      "wol" -> latin("ëñàéó"),            // Wolof
+      "nep" -> scriptOnly("DEVANAGARI"),  // Nepali (races hin/mar)
+      "asm" -> scriptOnly("BENGALI"),     // Assamese (races ben)
+      "tir" -> scriptOnly("ETHIOPIC")     // Tigrinya (races amh)
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

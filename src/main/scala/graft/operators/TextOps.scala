@@ -307,10 +307,14 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
       .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
-      .select($"source", $"doc_id", $"gram")
+      .select($"source", $"doc_id", $"gram", $"sz")
 
+    // length filter (also exact): J(A,B) ≥ t forces t·|B| ≤ |A| (and vice
+    // versa), so size-incompatible pairs are pruned before the distinct
     val candidates = prefixes.as("l")
-      .join(prefixes.as("r"), expr("l.source = r.source AND l.gram = r.gram AND l.doc_id < r.doc_id"))
+      .join(prefixes.as("r"), expr(
+        s"""l.source = r.source AND l.gram = r.gram AND l.doc_id < r.doc_id
+           |AND l.sz >= ceil(r.sz * $threshold) AND r.sz >= ceil(l.sz * $threshold)""".stripMargin))
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
       .distinct()
 

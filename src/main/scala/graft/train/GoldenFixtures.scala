@@ -146,7 +146,10 @@ object GoldenFixtures {
     ("lao", "ສະບາຍດີ", "raw"),
     ("kat", "გამარჯობა", "raw"),
     ("hye", "բարեւ", "raw"),
-    ("amh", "ሰላም", "raw"),
+    // ("amh", "ሰላም") was decided by the prefilter alone while Ethiopic had
+    // one language; with Tigrinya registered it is a model race and the
+    // golden word must be amh-distinctive ("ሰላም" is hello in both)
+    ("amh", "አይደለም", "raw"),
     ("div", "ދިވެހި", "raw"),
     ("bod", "བཀྲ་ཤིས།", "raw"),
     ("ind", "menggunakan", "raw"),
@@ -163,6 +166,28 @@ object GoldenFixtures {
     ("srp", "ђак", "raw"),
     ("tgk", "ҳақиқат", "raw"),
     ("pes", "است", "raw"),
+    // second breadth batch
+    ("kir", "үчүн", "raw"),
+    ("tat", "җир", "raw"),
+    ("bak", "ваҡыт", "raw"),
+    ("chv", "чӗлхе", "raw"),
+    ("uig", "ئۈچۈن", "raw"),
+    ("ckb", "لەگەڵ", "raw"),
+    ("mlt", "xogħol", "raw"),
+    ("tuk", "dünýä", "raw"),
+    ("uzn", "oʻzbek", "raw"),
+    ("ceb", "kahibalo", "raw"),
+    ("hat", "peyi", "raw"),
+    ("jav", "dheweke", "raw"),
+    ("sna", "mutauro", "raw"),
+    ("nya", "chilankhulo", "raw"),
+    ("kin", "ururimi", "raw"),
+    ("wol", "làkk", "raw"),
+    ("nep", "राम्रो", "raw"),
+    ("asm", "আৰু", "raw"),
+    ("tir", "ኣይኮነን", "raw"),
+    ("hin", "दुनिया", "raw"),
+    ("cmn_Hans", "经济", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -330,6 +355,59 @@ object GoldenFixtures {
       ҷаҳон одамон вақт хуб донистан забон кишвар шаҳр кор нав калон хурд аст ин он ҳақиқат
       тоҷикӣ"""),
     "pes" -> v("""من تو او ما شما آنها نه و برای با در از یک دو سه سال روز شب خانه آب جهان مردم
-      وقت خوب دانستن زبان کشور شهر کار نو بزرگ کوچک است این آن که را گفتگو فارسی""")
+      وقت خوب دانستن زبان کشور شهر کار نو بزرگ کوچک است این آن که را گفتگو فارسی"""),
+    // ---- second breadth batch
+    "kir" -> v("""мен сен ал биз силер алар эмес жана үчүн менен бир эки үч жыл күн түн үй суу
+      дүйнө адамдар убакыт жакшы билүү тил өлкө шаар жумуш жаңы чоң кичине болуу бар жок бул
+      ошол кыргыз"""),
+    "tat" -> v("""мин син ул без сез алар түгел һәм өчен белән бер ике өч ел көн төн йорт су
+      дөнья кешеләр вакыт яхшы белү тел ил шәһәр эш яңа зур кечкенә булу бар юк бу шул җир
+      татар җавап"""),
+    "bak" -> v("""мин һин ул беҙ һеҙ улар түгел һәм өсөн менән бер ике өс йыл көн төн йорт һыу
+      донъя кешеләр ваҡыт яҡшы белеү тел ил ҡала эш яңы ҙур бәләкәй булыу бар юҡ был шул ер
+      башҡорт"""),
+    "chv" -> v("""эпӗ эсӗ вӑл эпир эсир вӗсем мар тата валли пӗрле пӗр иккӗ виҫҫӗ ҫул кун каҫ
+      пӳрт шыв тӗнче ҫынсем вӑхӑт лайӑх пӗлме чӗлхе ҫӗршыв хула ӗҫ ҫӗнӗ пысӑк пӗчӗк пулма пур
+      ҫук ку ҫав чӑваш"""),
+    "uig" -> v("""مەن سەن ئۇ بىز سىلەر ئۇلار ئەمەس ۋە ئۈچۈن بىلەن بىر ئىككى ئۈچ يىل كۈن كېچە
+      ئۆي سۇ دۇنيا كىشىلەر ۋاقىت ياخشى بىلىش تىل دۆلەت شەھەر ئىش يېڭى چوڭ كىچىك بولۇش بار يوق
+      بۇ شۇ ئۇيغۇر"""),
+    "ckb" -> v("""من تۆ ئەو ئێمە ئێوە ئەوان نییە و بۆ لەگەڵ یەک دوو سێ ساڵ ڕۆژ شەو ماڵ ئاو
+      جیھان خەڵک کات باش زانین زمان وڵات شار کار نوێ گەورە بچووک بوون ھەیە ئەم کوردی"""),
+    "mlt" -> v("""jien int hu hi aħna huma mhux u għal ma wieħed tnejn tlieta sena jum lejl dar
+      ilma dinja nies ħin tajjeb taf lingwa pajjiż belt xogħol ġdid kbir żgħir ikun hemm dan
+      dak għand malti"""),
+    "tuk" -> v("""men sen ol biz siz olar däl we üçin bilen bir iki üç ýyl gün gije öý suw dünýä
+      adamlar wagt gowy bilmek dil ýurt şäher iş täze uly kiçi bolmak bar ýok bu şol türkmen"""),
+    "uzn" -> v("""men sen u biz siz ular emas va uchun bilan bir ikki uch yil kun tun uy suv
+      dunyo odamlar vaqt yaxshi bilish til mamlakat shahar ish yangi katta kichik bolmoq bor
+      yoq bu oʻsha qoʻl oʻzbek gʻoya"""),
+    "ceb" -> v("""ako ikaw siya kami sila dili ug alang uban usa duha tulo tuig adlaw gabii
+      balay tubig kalibutan mga tawo panahon maayo kahibalo pinulongan nasud siyudad trabaho
+      dako gamay mao kini kana sinugboanon"""),
+    "hat" -> v("""mwen ou li nou yo pa ak pou avèk youn de twa ane jou nwit kay dlo monn moun
+      tan bon konnen lang peyi vil travay nouvo gwo piti se sa ki ayiti kreyòl"""),
+    "jav" -> v("""aku kowe dheweke awake dhewe ora lan kanggo karo siji loro telu taun dina
+      wengi omah banyu donya wong wektu apik ngerti basa negara kutha gawean anyar gedhe cilik
+      iki iku sing jawa"""),
+    "sna" -> v("""ini iwe iye isu ivo kwete uye nokuti pamwe motsi piri tatu gore zuva usiku
+      imba mvura nyika vanhu nguva zvakanaka kuziva mutauro guta basa itsva hombe diki ndiri
+      uyu uyo chishona"""),
+    "nya" -> v("""ine iwe iye ife iwo ayi ndi chifukwa pamodzi modzi ziwiri zitatu chaka tsiku
+      usiku nyumba madzi dziko anthu nthawi bwino kudziwa chilankhulo mzinda ntchito chatsopano
+      chachikulu ndine uyu uyo chichewa"""),
+    "kin" -> v("""njye wowe we twebwe bo oya na kubera hamwe rimwe kabiri gatatu umwaka umunsi
+      ijoro inzu amazi isi abantu igihe neza kumenya ururimi igihugu umujyi akazi gishya kinini
+      gito ni iyi iyo ikinyarwanda"""),
+    "wol" -> v("""man yow moom nun ñoom déedéet ak ngir benn ñaar ñett at bés guddi kër ndox
+      àdduna nit jamono baax xam làkk réew dëkk liggéey bees mag ndaw la lii loolu wolof"""),
+    "nep" -> v("""म तिमी ऊ हामी उनीहरू होइन र लागि संग एक दुई तीन वर्ष दिन रात घर पानी संसार
+      मानिस समय राम्रो थाहा भाषा देश शहर काम नयाँ ठूलो सानो छ यो त्यो नेपाली"""),
+    "asm" -> v("""মই তুমি তেওঁ আমি তেওঁলোক নহয় আৰু বাবে সৈতে এক দুই তিনি বছৰ দিন ৰাতি ঘৰ পানী
+      পৃথিৱী মানুহ সময় ভাল জনা ভাষা দেশ চহৰ কাম নতুন ডাঙৰ সৰু অসমীয়া"""),
+    "amh" -> v("""እኔ አንተ እሱ እኛ እነሱ አይደለም እና ለ ጋር አንድ ሁለት ሶስት ዓመት ቀን ሌሊት ቤት ውሃ ዓለም
+      ሰዎች ጊዜ ጥሩ ማወቅ ቋንቋ አገር ከተማ ሥራ አዲስ ትልቅ ትንሽ ነው ይህ ያ ሰላም አማርኛ"""),
+    "tir" -> v("""ኣነ ንስኻ ንሱ ንሕና ንሳቶም ኣይኮነን ከምኡውን ን ምስ ሓደ ክልተ ሰለስተ ዓመት መዓልቲ ለይቲ
+      ገዛ ማይ ዓለም ሰባት ግዜ ጽቡቕ ምፍላጥ ቋንቋ ሃገር ከተማ ስራሕ ሓድሽ ዓቢ ንእሽቶ እዩ እዚ እቲ ትግርኛ""")
   )
 }
