@@ -1,0 +1,64 @@
+package graft.lang
+
+import graft.train.{FixtureCorpus, GoldenFixtures, Trainer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry + fixture-vocabulary invariants. The vocabularies are authored
+  * from orthography knowledge, and the trainer SILENTLY drops any word with
+  * a char outside its language's declared alphabet — a typo in either the
+  * alphabet or a word would quietly shrink that language's model. This spec
+  * makes those drops loud.
+  */
+class ScriptLangSpec extends AnyFunSuite {
+
+  test("registry: unique codes, valid script names, lowercase alphabets") {
+    val codes = ScriptLang.all.map(_.code)
+    assert(codes.distinct.size == codes.size, "duplicate language codes")
+    assert(ScriptLang.count <= 128, "two-long bitmask bound")
+    ScriptLang.all.foreach { l =>
+      assert(l.scripts.nonEmpty, s"${l.code}: no scripts")
+      l.scripts.foreach { s =>
+        // must be a real Character.UnicodeScript name (throws otherwise)
+        Character.UnicodeScript.valueOf(s)
+      }
+      l.alphabet.foreach { cp =>
+        assert(Character.toLowerCase(cp) == cp, s"${l.code}: non-lowercase U+${cp.toHexString}")
+      }
+    }
+  }
+
+  test("every golden language is registered; every golden word trains in its language") {
+    GoldenFixtures.cases.foreach { case (lang, text, _) =>
+      assert(ScriptLang.all.exists(_.code == lang), s"golden lang $lang unregistered")
+    }
+    // a raw golden case for a MODELED language must contribute at least one
+    // training word under its own language's filter (otherwise the case
+    // passes/fails on other languages' models only)
+    val modeled = FixtureCorpus.vocab.keySet
+    GoldenFixtures.cases.filter(c => modeled(c._1)).foreach { case (lang, text, _) =>
+      val id = ScriptLang.id(lang)
+      val inVocab = FixtureCorpus.vocab(lang).exists { w =>
+        Tokenizer.words(text.toLowerCase).exists(_.toString == w)
+      }
+      if (inVocab) {
+        val kept = Tokenizer.words(text).exists(w =>
+          w.cps.forall(cp => ScriptLang.belongs(id, cp)) ||
+            ScriptLang.all(id).scripts == Set("HAN"))
+        assert(kept, s"$lang golden '$text' is dropped by its own alphabet filter")
+      }
+    }
+  }
+
+  test("authored vocabularies survive their own alphabet filter (>= 95% per language)") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    FixtureCorpus.vocab.foreach { case (lang, words) =>
+      val id = ScriptLang.id(lang)
+      val kept = words.count(w => Trainer.trainingWords(id, w).nonEmpty)
+      val frac = kept.toDouble / words.size
+      if (frac < 0.95)
+        failures += f"$lang: only $kept/${words.size} ($frac%.2f) words pass the filter: " +
+          words.filter(w => Trainer.trainingWords(id, w).isEmpty).take(5).mkString(",")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
