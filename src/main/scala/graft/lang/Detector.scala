@@ -142,6 +142,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   private val tokBuf = new Tokenizer.TokenBuf
   private val prefCounts = new Array[Long](ScriptLang.count)
   private val candBuf = new Array[Int](ScriptLang.count)
+  private val maskScratch = new Tokenizer.MaskScratch
   def tokens: Tokenizer.TokenBuf = tokBuf
 
   /** `probabilities` of the reference (src/detector/mod.rs:230-320):
@@ -168,7 +169,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     if (text.isEmpty) return 0
 
     Tokenizer.tokenizeInto(text, tokBuf)
-    val nCand0 = Tokenizer.prefilterInto(tokBuf, prefCounts, candBuf)
+    val nCand0 = Tokenizer.prefilterInto(tokBuf, prefCounts, candBuf, 95, maskScratch)
     // intersect with the configured language set, in place
     var nCand = 0
     var c = 0

@@ -119,6 +119,19 @@ object Tokenizer {
     buf.endWord()
   }
 
+  /** Reusable scratch for prefilterInto's mask deduplication: real text has
+    * very few DISTINCT membership masks (plain a-z chars all share one), so
+    * counting (mask → char count) first and expanding set bits once per
+    * distinct mask turns per-char work from ~popcount(mask) increments into
+    * one short linear probe.
+    */
+  final class MaskScratch {
+    val lo = new Array[Long](24)
+    val hi = new Array[Long](24)
+    val cnt = new Array[Long](24)
+    var n = 0
+  }
+
   /** Allocation-free prefilter over a tokenized buffer: fills `counts`
     * (length ScriptLang.count, cleared here) and returns candidates into
     * `candOut`, returning the candidate count. Same margin semantics as
@@ -128,24 +141,66 @@ object Tokenizer {
       buf: TokenBuf,
       counts: Array[Long],
       candOut: Array[Int],
-      marginPercent: Int = 95
+      marginPercent: Int = 95,
+      scratch: MaskScratch = new MaskScratch
   ): Int = {
     java.util.Arrays.fill(counts, 0L)
+    scratch.n = 0
     var i = 0
     val n = buf.totalCps
     while (i < n) {
       val cp = buf.cps(i)
-      var mask = ScriptLang.maskOf(cp)
-      while (mask != 0L) {
-        counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
-        mask &= mask - 1
-      }
-      var hi = ScriptLang.maskOfHi(cp)
-      while (hi != 0L) {
-        counts(64 + java.lang.Long.numberOfTrailingZeros(hi)) += 1
-        hi &= hi - 1
+      val lo = ScriptLang.maskOf(cp)
+      val hi = ScriptLang.maskOfHi(cp)
+      if (lo != 0L || hi != 0L) {
+        // dedup by (lo, hi): the distinct-mask count per doc is tiny
+        var j = 0
+        var found = false
+        while (j < scratch.n && !found) {
+          if (scratch.lo(j) == lo && scratch.hi(j) == hi) {
+            scratch.cnt(j) += 1
+            found = true
+          }
+          j += 1
+        }
+        if (!found) {
+          if (scratch.n < scratch.lo.length) {
+            scratch.lo(scratch.n) = lo
+            scratch.hi(scratch.n) = hi
+            scratch.cnt(scratch.n) = 1
+            scratch.n += 1
+          } else {
+            // scratch full (pathological mixed-script text): expand directly
+            var m = lo
+            while (m != 0L) {
+              counts(java.lang.Long.numberOfTrailingZeros(m)) += 1
+              m &= m - 1
+            }
+            m = hi
+            while (m != 0L) {
+              counts(64 + java.lang.Long.numberOfTrailingZeros(m)) += 1
+              m &= m - 1
+            }
+          }
+        }
       }
       i += 1
+    }
+    // expand each distinct mask once
+    var k = 0
+    while (k < scratch.n) {
+      val c = scratch.cnt(k)
+      var m = scratch.lo(k)
+      while (m != 0L) {
+        counts(java.lang.Long.numberOfTrailingZeros(m)) += c
+        m &= m - 1
+      }
+      m = scratch.hi(k)
+      while (m != 0L) {
+        counts(64 + java.lang.Long.numberOfTrailingZeros(m)) += c
+        m &= m - 1
+      }
+      k += 1
     }
     var max = 0L
     var l = 0
