@@ -126,9 +126,8 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     */
   private val sums = new Array[Double](nLangs)
   private val cnts = new Array[Int](nLangs)
-  private val hitStamp = new Array[Int](nLangs)
+  private val hitStamp = new Array[Int](nLangs) // char-phase hit snapshot
   private val isCand = new Array[Boolean](nLangs)
-  private var stamp = 0
   private val seen = new LongSeenSet(256)
 
   /** Diagnostics from the LAST probabilities call (valid until the next
@@ -198,7 +197,17 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       i += 1
     }
 
+    // Floor accounting is COUNTED, not per-ngram-looped (reference
+    // semantics src/detector/mod.rs:103-138: every hit n-gram adds the
+    // per-lang floor to each candidate that did NOT hit it). Equivalent
+    // closed form per candidate l: floor(l) × (hitNgrams − ownHits(l)) —
+    // one multiply at the end instead of an O(nCand) loop per hit n-gram
+    // (which dominated at 100+ registered languages). Floating-point note:
+    // the product replaces repeated addition of the same double — exact to
+    // within an ulp of the reference's accumulation and covered by the
+    // mock-parity and golden suites.
     val cps = tokBuf.cps
+    var charHitNgrams = 0
     var s = 0
     while (s < nSizes) {
       val n = sizes(s) + 1 // window length
@@ -212,7 +221,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
           val key = NgramHash.ofWindow(cps, start, n)
           if (seen.add(key)) {
             probedCount += 1
-            probeNgram(table, key, candBuf, nCand, model.charFloors, perLangFloor = true)
+            if (probeNgram(table, key)) charHitNgrams += 1
           }
           start += 1
         }
@@ -220,15 +229,30 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       }
       s += 1
     }
+    // char-phase floors; snapshot char-phase hit counts for the word phase
+    i = 0
+    while (i < nCand) {
+      val l = candBuf(i)
+      sums(l) += model.charFloors(l) * (charHitNgrams - cnts(l))
+      hitStamp(l) = cnts(l) // reused as the char-phase snapshot
+      i += 1
+    }
 
     if (wordgramsEnabled) {
       // whole words, NO dedup (reference: src/detector/mod.rs:290-296)
+      var wordHitNgrams = 0
       var wi = 0
       while (wi < tokBuf.nWords) {
         val key = NgramHash.ofWindow(cps, tokBuf.start(wi), tokBuf.len(wi))
         probedCount += 1
-        probeNgram(model.wordTable, key, candBuf, nCand, null, perLangFloor = false)
+        if (probeNgram(model.wordTable, key)) wordHitNgrams += 1
         wi += 1
+      }
+      i = 0
+      while (i < nCand) {
+        val l = candBuf(i)
+        sums(l) += model.wordgramFloor * (wordHitNgrams - (cnts(l) - hitStamp(l)))
+        i += 1
       }
     }
 
@@ -288,22 +312,15 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
 
   /** Probe one n-gram and accumulate (reference `ngrams_sum_cnt`,
     * src/detector/mod.rs:103-138): candidates present in the postings get
-    * (prob, +1); if at least one candidate hit, the remaining candidates get
-    * the floor added to their sum WITHOUT incrementing the count.
+    * (prob, +1). Returns true iff at least one candidate hit — the caller
+    * counts hit n-grams and settles the miss-floor contribution in closed
+    * form per phase (see detectInPlace).
     */
-  @inline private def probeNgram(
-      table: ProbTable,
-      key: Long,
-      cands: Array[Int],
-      nCand: Int,
-      floors: Array[Double],
-      perLangFloor: Boolean
-  ): Unit = {
+  @inline private def probeNgram(table: ProbTable, key: Long): Boolean = {
     val slot = table.find(key)
-    if (slot < 0) return
+    if (slot < 0) return false
     val len = table.lens(slot)
-    if (len == 0) return
-    stamp += 1
+    if (len == 0) return false
     val st = table.starts(slot)
     var hits = 0
     var j = 0
@@ -312,20 +329,11 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       if (isCand(lang)) {
         sums(lang) += table.postProbs(st + j).toDouble
         cnts(lang) += 1
-        hitStamp(lang) = stamp
         hits += 1
       }
       j += 1
     }
-    if (hits == 0) return
-    var i = 0
-    while (i < nCand) {
-      val l = cands(i)
-      if (hitStamp(l) != stamp) {
-        sums(l) += (if (perLangFloor) floors(l) else model.wordgramFloor)
-      }
-      i += 1
-    }
+    hits > 0
   }
 
   /** Softmax with the reference's special cases
