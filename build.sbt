@@ -15,6 +15,10 @@ run / fork := true
 // empty) and pin UTF-8: the sandbox locale is unset (POSIX C), under which
 // the JVM would otherwise decode argv/stdio as ASCII
 run / connectInput := true
+// inherit stdout directly (no "[info] " prefix on forked-run output):
+// graft.Bench emits ONE machine-parsed JSON line — the sbt log prefix made
+// the round-1 driver record it as unparseable
+run / outputStrategy := Some(StdoutOutput)
 javaOptions ++= Seq(
   "-Dfile.encoding=UTF-8",
   "-Dsun.stdout.encoding=UTF-8",
