@@ -157,7 +157,13 @@ object ScriptLang {
       "wol" -> latin("ëñàéó"),            // Wolof
       "nep" -> scriptOnly("DEVANAGARI"),  // Nepali (races hin/mar)
       "asm" -> scriptOnly("BENGALI"),     // Assamese (races ben)
-      "tir" -> scriptOnly("ETHIOPIC")     // Tigrinya (races amh)
+      "tir" -> scriptOnly("ETHIOPIC"),    // Tigrinya (races amh)
+      // ---- third breadth batch: more same-script model races
+      "haw" -> latin("āēīōūʻ"),           // Hawaiian (incl. ʻokina U+02BB)
+      "mri" -> latin("āēīōū"),            // Māori
+      "yid" -> scriptOnly("HEBREW"),      // Yiddish (races heb)
+      "pnb" -> (Set("ARABIC"), cps("ابپتٹثجچحخدڈذرڑزژسشصضطظعغفقکگلمنںوہھءیےآأؤئݨلٰ")), // Punjabi Shahmukhi
+      "kmr" -> latin("çêîşû")             // Kurdish Kurmanji (Latin)
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

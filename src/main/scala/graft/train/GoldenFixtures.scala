@@ -188,6 +188,14 @@ object GoldenFixtures {
     ("tir", "ኣይኮነን", "raw"),
     ("hin", "दुनिया", "raw"),
     ("cmn_Hans", "经济", "raw"),
+    // third breadth batch; "pu'u'ō'ō" is the reference's own (commented)
+    // Hawaiian case, tests/detector.rs:129
+    ("haw", "pu'u'ō'ō", "raw"),
+    ("haw", "ʻōlelo", "raw"),
+    ("mri", "whakapapa", "raw"),
+    ("yid", "ביכער", "raw"),
+    ("pnb", "اوہناں", "raw"),
+    ("kmr", "cîhan", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -408,6 +416,20 @@ object GoldenFixtures {
     "amh" -> v("""እኔ አንተ እሱ እኛ እነሱ አይደለም እና ለ ጋር አንድ ሁለት ሶስት ዓመት ቀን ሌሊት ቤት ውሃ ዓለም
       ሰዎች ጊዜ ጥሩ ማወቅ ቋንቋ አገር ከተማ ሥራ አዲስ ትልቅ ትንሽ ነው ይህ ያ ሰላም አማርኛ"""),
     "tir" -> v("""ኣነ ንስኻ ንሱ ንሕና ንሳቶም ኣይኮነን ከምኡውን ን ምስ ሓደ ክልተ ሰለስተ ዓመት መዓልቲ ለይቲ
-      ገዛ ማይ ዓለም ሰባት ግዜ ጽቡቕ ምፍላጥ ቋንቋ ሃገር ከተማ ስራሕ ሓድሽ ዓቢ ንእሽቶ እዩ እዚ እቲ ትግርኛ""")
+      ገዛ ማይ ዓለም ሰባት ግዜ ጽቡቕ ምፍላጥ ቋንቋ ሃገር ከተማ ስራሕ ሓድሽ ዓቢ ንእሽቶ እዩ እዚ እቲ ትግርኛ"""),
+    // ---- third breadth batch
+    "haw" -> v("""aloha mahalo ʻāina moku kai wai hale kanaka wahine keiki lani moana mauna
+      nui iki maikaʻi ʻole kēia kēlā ka ke na he ua au ʻoe ia mākou lākou manawa lā pō
+      makahiki honua poʻe ʻōlelo hana hou pu ō"""),
+    "mri" -> v("""te he ka au koe ia mātou rātou kāinga wai ao tangata wā pai mōhio reo whenua
+      tāone mahi hou nui iti kei tēnei tērā whakapapa aotearoa wahine tamariki rangi moana
+      maunga tau rā pō iwi kōrero"""),
+    "yid" -> v("""איך דו ער זי מיר איר זיי נישט און פאר מיט איין צוויי דריי יאר טאג נאכט הויז
+      וואסער וועלט מענטשן צייט גוט וויסן שפראך לאנד שטאט ארבעט ניי גרויס קליין יידיש ביכער
+      וואס דאס איז"""),
+    "pnb" -> v("""میں توں اوہ اسیں تسیں اوہناں نہیں تے لئی نال اک دو تن سال دن رات گھر پانی
+      دنیا لوک ویلہ چنگا جاننا زبان ملک شہر کم نواں وڈا چھوٹا اے ایہ پنجابی"""),
+    "kmr" -> v("""ez tu ew em hûn ne û ji bo bi yek du sê sal roj şev mal av cîhan mirov dem
+      baş zanîn ziman welat bajar kar nû mezin biçûk ev kurdî heye tune""")
   )
 }
