@@ -58,43 +58,57 @@ object DetectorConfig {
 private[lang] final class LongSeenSet(initialCap: Int) {
   private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2)
   private var keys = new Array[Long](cap)
+  // epoch-tagged slots: clear() bumps the epoch instead of zeroing the
+  // array (clearing a grown table once per n-gram size per document was
+  // costing more than the probes on short texts)
+  private var epochs = new Array[Int](cap)
+  private var epoch = 1
   private var n = 0
 
-  @inline private def slotOf(key: Long, ks: Array[Long]): Int = {
+  @inline private def slotOf(key: Long, m: Int): Int = {
     var h = key
     h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
     h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-    (h ^ (h >>> 31)).toInt & (ks.length - 1)
+    (h ^ (h >>> 31)).toInt & m
   }
 
   /** returns true if newly added */
-  def add(key0: Long): Boolean = {
-    val key = if (key0 == 0L) NgramHash.ZeroRemap else key0
-    var i = slotOf(key, keys)
-    while (keys(i) != 0L) {
+  def add(key: Long): Boolean = {
+    var i = slotOf(key, cap - 1)
+    while (epochs(i) == epoch) {
       if (keys(i) == key) return false
       i = (i + 1) & (cap - 1)
     }
     keys(i) = key
+    epochs(i) = epoch
     n += 1
     if (n * 2 > cap) grow()
     true
   }
 
-  def clear(): Unit = { java.util.Arrays.fill(keys, 0L); n = 0 }
+  def clear(): Unit = {
+    n = 0
+    if (epoch == Int.MaxValue) {
+      java.util.Arrays.fill(epochs, 0)
+      epoch = 1
+    } else epoch += 1
+  }
 
   private def grow(): Unit = {
-    val old = keys
+    val oldK = keys
+    val oldE = epochs
     cap <<= 1
     keys = new Array[Long](cap)
+    epochs = new Array[Int](cap)
     n = 0
     var i = 0
-    while (i < old.length) {
-      val k = old(i)
-      if (k != 0L) {
-        var j = slotOf(k, keys)
-        while (keys(j) != 0L) j = (j + 1) & (cap - 1)
+    while (i < oldK.length) {
+      if (oldE(i) == epoch) {
+        val k = oldK(i)
+        var j = slotOf(k, cap - 1)
+        while (epochs(j) == epoch) j = (j + 1) & (cap - 1)
         keys(j) = k
+        epochs(j) = epoch
         n += 1
       }
       i += 1
