@@ -84,38 +84,48 @@ object FilterPipeline {
       text_hash: Long, scrubbed_text: String)
 
   /** Primitive open-addressing Long→count map, reused across a partition —
-    * word-frequency without boxing.
+    * word-frequency without boxing. Epoch-tagged slots: clear() bumps the
+    * epoch instead of zeroing the (possibly grown) table per document.
     */
   private final class LongIntCounter(initialCap: Int) {
     private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2)
     private var keys = new Array[Long](cap)
     private var vals = new Array[Int](cap)
+    private var epochs = new Array[Int](cap)
+    private var epoch = 1
     private var n = 0
-    def clear(): Unit = { java.util.Arrays.fill(keys, 0L); n = 0 }
-    def increment(key0: Long): Int = {
-      val key = if (key0 == 0L) graft.lang.NgramHash.ZeroRemap else key0
+    def clear(): Unit = {
+      n = 0
+      if (epoch == Int.MaxValue) { java.util.Arrays.fill(epochs, 0); epoch = 1 }
+      else epoch += 1
+    }
+    def increment(key: Long): Int = {
       var h = key
       h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
       h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
       var i = (h ^ (h >>> 31)).toInt & (cap - 1)
-      while (keys(i) != 0L && keys(i) != key) i = (i + 1) & (cap - 1)
-      if (keys(i) == 0L) { keys(i) = key; vals(i) = 0; n += 1; if (n * 2 > cap) { grow(); return increment(key0) } }
+      while (epochs(i) == epoch && keys(i) != key) i = (i + 1) & (cap - 1)
+      if (epochs(i) != epoch) {
+        keys(i) = key; vals(i) = 0; epochs(i) = epoch; n += 1
+        if (n * 2 > cap) { grow(); return increment(key) }
+      }
       vals(i) += 1
       vals(i)
     }
     private def grow(): Unit = {
-      val ok = keys; val ov = vals
+      val ok = keys; val ov = vals; val oe = epochs
       cap <<= 1
-      keys = new Array[Long](cap); vals = new Array[Int](cap); n = 0
+      keys = new Array[Long](cap); vals = new Array[Int](cap); epochs = new Array[Int](cap)
+      n = 0
       var i = 0
       while (i < ok.length) {
-        if (ok(i) != 0L) {
+        if (oe(i) == epoch) {
           var h = ok(i)
           h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
           h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
           var j = (h ^ (h >>> 31)).toInt & (cap - 1)
-          while (keys(j) != 0L) j = (j + 1) & (cap - 1)
-          keys(j) = ok(i); vals(j) = ov(i); n += 1
+          while (epochs(j) == epoch) j = (j + 1) & (cap - 1)
+          keys(j) = ok(i); vals(j) = ov(i); epochs(j) = epoch; n += 1
         }
         i += 1
       }
