@@ -163,7 +163,22 @@ object ScriptLang {
       "mri" -> latin("āēīōū"),            // Māori
       "yid" -> scriptOnly("HEBREW"),      // Yiddish (races heb)
       "pnb" -> (Set("ARABIC"), cps("ابپتٹثجچحخدڈذرڑزژسشصضطظعغفقکگلمنںوہھءیےآأؤئݨلٰ")), // Punjabi Shahmukhi
-      "kmr" -> latin("çêîşû")             // Kurdish Kurmanji (Latin)
+      "kmr" -> latin("çêîşû"),            // Kurdish Kurmanji (Latin)
+      // ---- fourth breadth batch
+      "gla" -> latin("àèìòù"),            // Scottish Gaelic
+      "ewe" -> latin("ɖƒɣɛɔŋʋàèìòùáéíóúãẽĩõũ"), // Ewe (incl. tone-marked vowels)
+      "twi" -> latin("ɛɔ"),               // Twi (Akan)
+      "bam" -> latin("ɛɔɲŋ"),             // Bambara
+      "grn" -> latin("ãẽĩõũỹáéíóúʼñ"),    // Guarani
+      "ton" -> latin("āēīōūʻ"),           // Tongan
+      "smo" -> latin("āēīōūʻ"),           // Samoan
+      "lug" -> latin(""),                 // Luganda
+      "tsn" -> latin("š"),                // Setswana
+      "lin" -> latin("ɛɔ"),               // Lingala
+      "sun" -> latin("é"),                // Sundanese (Latin)
+      "fij" -> latin(""),                 // Fijian
+      "oss" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӕ"), // Ossetian
+      "che" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӏ")  // Chechen
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

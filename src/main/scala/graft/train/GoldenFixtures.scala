@@ -196,6 +196,21 @@ object GoldenFixtures {
     ("yid", "ביכער", "raw"),
     ("pnb", "اوہناں", "raw"),
     ("kmr", "cîhan", "raw"),
+    // fourth breadth batch
+    ("gla", "gàidhlig", "raw"),
+    ("ewe", "ɖeka", "raw"),
+    ("twi", "kyerɛ", "raw"),
+    ("bam", "ɲuman", "raw"),
+    ("grn", "avañeʼẽ", "raw"),
+    ("ton", "ngāue", "raw"),
+    ("smo", "gagana", "raw"),
+    ("lug", "olulimi", "raw"),
+    ("tsn", "lefatshe batho", "raw"),
+    ("lin", "ntango malamu", "raw"),
+    ("sun", "manéhna", "raw"),
+    ("fij", "vuravura", "raw"),
+    ("oss", "ӕвзаг", "raw"),
+    ("che", "цӏа", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -430,6 +445,43 @@ object GoldenFixtures {
     "pnb" -> v("""میں توں اوہ اسیں تسیں اوہناں نہیں تے لئی نال اک دو تن سال دن رات گھر پانی
       دنیا لوک ویلہ چنگا جاننا زبان ملک شہر کم نواں وڈا چھوٹا اے ایہ پنجابی"""),
     "kmr" -> v("""ez tu ew em hûn ne û ji bo bi yek du sê sal roj şev mal av cîhan mirov dem
-      baş zanîn ziman welat bajar kar nû mezin biçûk ev kurdî heye tune""")
+      baş zanîn ziman welat bajar kar nû mezin biçûk ev kurdî heye tune"""),
+    // ---- fourth breadth batch
+    "gla" -> v("""mi thu sinn sibh iad chan eil agus airson le aon dà trì bliadhna latha oidhche
+      taigh uisge saoghal daoine ùine math fios cànan dùthaich baile obair ùr mòr beag tha seo
+      sin gàidhlig alba"""),
+    "ewe" -> v("""nye wò eya mí wo menye kple na ɖeka eve etɔ ƒe ŋkeke zã aƒe tsi xexeme amewo
+      ɣeyiɣi nyuie nya gbe dukɔ du dɔ yeye gã sue esia ema eʋegbe"""),
+    "twi" -> v("""me wo ɔno yɛn mo wɔn nnyɛ ne ma kyerɛ baako mmienu mmiɛnsa afe da anadwo fie
+      nsuo wiase nnipa berɛ papa nim kasa ɔman kuro adwuma foforɔ kɛseɛ ketewa yɛ yei saa twi"""),
+    "bam" -> v("""ne ale an aw tɛ ani kama ni kelen fila saba san don su so ji diɲɛ mɔgɔw waati
+      ɲuman dɔn kan jamana dugu baara kura belebele fitinin nin bamanankan"""),
+    "grn" -> v("""che nde ñande haʼekuéra nahániri ha peguarã ndive peteĩ mokõi mbohapy ary ára
+      pyhare óga arapy tapicha aravo porã kuaa ñeʼẽ tetã táva mbaʼapo pyahu guasu michĩ kóva
+      upéva avañeʼẽ paraguái"""),
+    "ton" -> v("""ko e ʻoku ha mo ʻi he taha ua tolu taʻu ʻaho pō fale vai māmani kakai taimi
+      lelei ʻilo lea fonua kolo ngāue foʻou lahi siʻi ki ʻeni ia tonga"""),
+    "smo" -> v("""aʻu oe matou outou latou leai ma mo faʻatasi tasi lua tolu tausaga aso pō fale
+      vai lalolagi tagata taimi lelei iloa gagana atunuʻu taulaga galuega fou tele itiiti o
+      lenei lena samoa"""),
+    "lug" -> v("""nze ggwe ye ffe mmwe bo nedda ne olwa wamu emu bbiri ssatu mwaka lunaku kiro
+      nnyumba mazzi nsi abantu budde bulungi okumanya olulimi eggwanga ekibuga omulimu kiggya
+      kinene kitono ndi kino ekyo luganda"""),
+    "tsn" -> v("""nna wena ene rona lona bone nnyaa le ka mmogo nngwe pedi tharo ngwaga letsatsi
+      bosigo ntlo metsi lefatshe batho nako sentle itse puo naga toropo tiro ntšha kgolo nnye
+      ke se seo setswana"""),
+    "lin" -> v("""ngai yo ye biso bino bango te mpe mpo na elongo moko mibale misato mbula
+      mokolo butu ndako mai mokili bato ntango malamu koyeba monoko ekolo engumba mosala sika
+      monene moke eza oyo wana lingala"""),
+    "sun" -> v("""abdi anjeun manéhna urang aranjeun maranéhna henteu jeung keur sareng hiji dua
+      tilu taun poé peuting imah cai dunya jalma waktu alus terang basa nagara kota gawé anyar
+      badag leutik nyaéta ieu éta sunda"""),
+    "fij" -> v("""au iko koya keimami ira sega kei me vata dua rua tolu yabaki siga bogi vale
+      wai vuravura tamata gauna vinaka kila vosa vanua koro cakacaka vou levu lailai sa oqo
+      oya viti"""),
+    "oss" -> v("""ӕз ды уый мах сымах уыдон нӕ ӕмӕ тыххӕй иу дыууӕ ӕртӕ аз бон ӕхсӕв хӕдзар дон
+      дуне адӕм рӕстӕг хорз зонын ӕвзаг бӕстӕ горӕт куыст ног стыр гыццыл у ай ирон"""),
+    "che" -> v("""со хьо иза тхо шу уьш дац а я цхьа ши кхо шо де буьйса цӏа хи дуьне нах хан
+      дика хаар мотт мохк гӏала болх керла доккха жима ву хӏара из нохчийн""")
   )
 }
