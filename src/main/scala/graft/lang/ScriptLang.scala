@@ -178,7 +178,17 @@ object ScriptLang {
       "sun" -> latin("é"),                // Sundanese (Latin)
       "fij" -> latin(""),                 // Fijian
       "oss" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӕ"), // Ossetian
-      "che" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӏ")  // Chechen
+      "che" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӏ"), // Chechen
+      // ---- fifth batch: fill the 2-long bitmask to its 128 capacity
+      // (round 3 widens to a third word if it extends further)
+      "pus" -> (Set("ARABIC"), cps("ابپتټثجچحخدډذرړزژږسشښصضطظعغفقکګلمنڼوهیيېۍئ")), // Pashto
+      "snd" -> (Set("ARABIC"), cps("آابٻپڀتٿٽٺثجڄچڇحخدڌڍڏڊذرڙزسشصضطظعغفڦقڪکگڳڱلمنڻوهھءئيیے")), // Sindhi
+      "iku" -> scriptOnly("CANADIAN_ABORIGINAL"), // Inuktitut
+      "chr" -> scriptOnly("CHEROKEE"),
+      "nqo" -> scriptOnly("NKO"),         // N'Ko
+      "vai" -> scriptOnly("VAI"),
+      "tzm" -> scriptOnly("TIFINAGH"),    // Tamazight
+      "syr" -> scriptOnly("SYRIAC")       // Syriac
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

@@ -211,6 +211,15 @@ object GoldenFixtures {
     ("fij", "vuravura", "raw"),
     ("oss", "ӕвзаг", "raw"),
     ("che", "цӏа", "raw"),
+    // fifth batch (bitmask-capacity fill)
+    ("pus", "پښتو", "raw"),
+    ("snd", "سنڌي", "raw"),
+    ("iku", "ᐃᓄᒃᑎᑐᑦ", "raw"),
+    ("chr", "ᏣᎳᎩ", "raw"),
+    ("nqo", "ߒߞߏ", "raw"),
+    ("vai", "ꕙꔤ", "raw"),
+    ("tzm", "ⵜⴰⵎⴰⵣⵉⵖⵜ", "raw"),
+    ("syr", "ܣܘܪܝܝܐ", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -482,6 +491,11 @@ object GoldenFixtures {
     "oss" -> v("""ӕз ды уый мах сымах уыдон нӕ ӕмӕ тыххӕй иу дыууӕ ӕртӕ аз бон ӕхсӕв хӕдзар дон
       дуне адӕм рӕстӕг хорз зонын ӕвзаг бӕстӕ горӕт куыст ног стыр гыццыл у ай ирон"""),
     "che" -> v("""со хьо иза тхо шу уьш дац а я цхьа ши кхо шо де буьйса цӏа хи дуьне нах хан
-      дика хаар мотт мохк гӏала болх керла доккха жима ву хӏара из нохчийн""")
+      дика хаар мотт мохк гӏала болх керла доккха жима ву хӏара из нохчийн"""),
+    // ---- fifth batch
+    "pus" -> v("""زه ته هغه موږ تاسو دوی نه او لپاره سره یو دوه درې کال ورځ شپه کور اوبه نړۍ
+      خلک وخت ښه پوهېدل ژبه هېواد ښار کار نوی لوی کوچنی دی دا پښتو"""),
+    "snd" -> v("""آئون تون هو اسين توهان اهي نه لاء سان هڪ ٻه ٽي سال ڏينهن رات گهر پاڻي دنيا
+      ماڻهو وقت سٺو ڄاڻڻ ٻولي ملڪ شهر ڪم نئون وڏو ننڍو آهي هي اهو سنڌي""")
   )
 }
