@@ -270,13 +270,26 @@ object GoldenFixtures {
     "cat" -> v("""contradicció només pràctiques substituïts jo tu ell ella nosaltres ells no i per
       amb en des un dos tres any dia nit casa aigua món gent temps bé saber llengua país ciutat
       treball nou gran petit ser estar"""),
+    // Hans/Hant vocabularies deliberately lean on FORM-DISTINCT pairs
+    // (simplified vs traditional): the shared-character subset alone left
+    // the two models nearly identical and held-out accuracy collapsed to a
+    // coin flip (caught by AccuracySpec)
     "cmn_Hant" -> v("""經濟 我 你 他 她 我們 他們 不 和 為 與 在 從 一 二 三 年 天 夜 家 水 世界
-      人 時間 好 知道 語言 國家 城市 工作 新 大 小 是 這 那 學校"""),
+      人 時間 好 知道 語言 國家 城市 工作 新 大 小 是 這 那 學校 漢語 書 馬 鳥 門 見 話 讀 寫
+      車 電 腦 體 發 長 風 雲 飛 買 賣 錢 銀 問 題 詞 說 請 謝 對 過 還 點 樣 們 麼 後 開 關"""),
     "cmn_Hans" -> v("""经济 我 你 他 她 我们 他们 不 和 为 与 在 从 一 二 三 年 天 夜 家 水 世界
-      人 时间 好 知道 语言 国家 城市 工作 新 大 小 是 这 那 学校"""),
-    "jpn" -> v("""東京 経済 私 あなた 彼 彼女 たち ない と ため に から 一 二 三 年 日 夜 家 水
-      世界 人 時間 良い 知る 言葉 国 都市 仕事 新しい 大きい 小さい です ます これ それ の は を
-      が で も した する いる ある こと もの"""),
+      人 时间 好 知道 语言 国家 城市 工作 新 大 小 是 这 那 学校 汉语 书 马 鸟 门 见 话 读 写
+      车 电 脑 体 发 长 风 云 飞 买 卖 钱 银 问 题 词 说 请 谢 对 过 还 点 样 们 么 后 开 关"""),
+    // Japanese vocabulary keeps kana in nearly every entry: bare-Han words
+    // identical to Chinese (年/家/水/世界/人…) made jpn outscore BOTH
+    // Chinese models on pure-Han text via its wordgram hits (whose miss
+    // floors sank Hans/Hant, which train no wordgrams — Han special case);
+    // real Japanese text is kana-laced, so the fixture should be too
+    // (caught by AccuracySpec)
+    "jpn" -> v("""東京 経済 私 あなた かれ かのじょ たち ない と ため に から ひとつ ふたつ
+      みっつ とし ひ よる いえ みず せかい ひと じかん くに まち しごと 良い 知る 言葉
+      新しい 大きい 小さい です ます これ それ の は を が で も した する いる ある こと
+      もの 日本語 わたしたち"""),
     "hrv" -> v("""nađete prihvaćanju ja ti on ona mi vi oni ne i za s na od jedan dva tri godina
       dan noć kuća voda svijet ljudi vrijeme dobro znati jezik zemlja grad posao nov velik malen
       biti čovjek žena dijete"""),
