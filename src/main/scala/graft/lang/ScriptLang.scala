@@ -188,7 +188,16 @@ object ScriptLang {
       "nqo" -> scriptOnly("NKO"),         // N'Ko
       "vai" -> scriptOnly("VAI"),
       "tzm" -> scriptOnly("TIFINAGH"),    // Tamazight
-      "syr" -> scriptOnly("SYRIAC")       // Syriac
+      "syr" -> scriptOnly("SYRIAC"),      // Syriac
+      // ---- sixth batch: crosses into the third mask word (MaskWords
+      // generalization; exercises ids >= 128)
+      "que" -> latin("ñ"),                // Quechua
+      "mlg" -> latin("àô"),               // Malagasy
+      "sah" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёҕҥөүһ"), // Yakut
+      "udm" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӥӧӵӝӟ"), // Udmurt
+      "mhr" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёҥӧӱ"),   // Meadow Mari
+      "sat" -> scriptOnly("OL_CHIKI"),    // Santali
+      "mni" -> scriptOnly("MEETEI_MAYEK") // Manipuri
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)
@@ -214,13 +223,15 @@ object ScriptLang {
     Character.UnicodeScript.of(cp).name
 
   // Membership tables, precomputed for the hot loop ------------------------
-  // Per-code-point membership is a TWO-Long bitmask (bit i of word i/64 =
-  // language id i belongs) — the registry outgrew 64 languages in round 2.
-  // A direct BMP table (2 × 65536 longs, 1 MB, built once per JVM) makes
-  // the per-char prefilter two array loads — the Spark-scale answer to
-  // calling Character.UnicodeScript + Set.contains per char per language.
+  // Per-code-point membership is an N-Long bitmask (bit i of word i/64 =
+  // language id i belongs); N = MaskWords grows with the registry (the
+  // two-word mask filled at 128 languages in round 2). Direct BMP tables
+  // (N × 65536 longs, built once per JVM) make the per-char prefilter N
+  // array loads — the Spark-scale answer to calling
+  // Character.UnicodeScript + Set.contains per char per language.
 
-  require(count <= 128, "language bitmask requires <= 128 languages (2 longs)")
+  /** number of 64-bit mask words covering the registry */
+  final val MaskWords: Int = (count + 63) >> 6
 
   private def computeMaskWord(cp: Int, word: Int): Long = {
     var mask = 0L
@@ -239,8 +250,7 @@ object ScriptLang {
     mask
   }
 
-  private lazy val bmpMask0: Array[Long] = buildBmp(0)
-  private lazy val bmpMask1: Array[Long] = buildBmp(1)
+  private lazy val bmpMasks: Array[Array[Long]] = Array.tabulate(MaskWords)(buildBmp)
 
   private def buildBmp(word: Int): Array[Long] = {
     val t = new Array[Long](0x10000)
@@ -253,11 +263,14 @@ object ScriptLang {
     t
   }
 
-  /** Language-membership bitmask words of a code point (ids 0..63 / 64..127). */
-  @inline def maskOf(cp: Int): Long =
-    if (cp < 0x10000) bmpMask0(cp) else computeMaskWord(cp, 0)
-  @inline def maskOfHi(cp: Int): Long =
-    if (cp < 0x10000) bmpMask1(cp) else computeMaskWord(cp, 1)
+  /** Language-membership bitmask word `w` (ids 64w .. 64w+63) of a code
+    * point.
+    */
+  @inline def maskWordOf(cp: Int, w: Int): Long =
+    if (cp < 0x10000) bmpMasks(w)(cp) else computeMaskWord(cp, w)
+
+  /** word 0 of the mask (kept for tests/back-compat call sites). */
+  @inline def maskOf(cp: Int): Long = maskWordOf(cp, 0)
 
   /** True iff code point `cp` belongs to language `langId`'s orthography:
     * explicit-alphabet langs check the alphabet set; script-only langs check
@@ -266,25 +279,20 @@ object ScriptLang {
     * src/detector/mod.rs:235.
     */
   def belongs(langId: Int, cp: Int): Boolean =
-    if (langId < 64) ((maskOf(cp) >>> langId) & 1L) == 1L
-    else ((maskOfHi(cp) >>> (langId - 64)) & 1L) == 1L
+    ((maskWordOf(cp, langId >> 6) >>> (langId & 63)) & 1L) == 1L
 
   /** All languages a code point can belong to (for tests/diagnostics). */
   def langsOfCp(cp: Int): Array[Int] = {
-    var lo = maskOf(cp)
-    var hi = maskOfHi(cp)
-    val out = new Array[Int](java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi))
-    var i = 0
-    while (lo != 0L) {
-      out(i) = java.lang.Long.numberOfTrailingZeros(lo)
-      lo &= lo - 1
-      i += 1
+    val out = Array.newBuilder[Int]
+    var w = 0
+    while (w < MaskWords) {
+      var m = maskWordOf(cp, w)
+      while (m != 0L) {
+        out += (w << 6) + java.lang.Long.numberOfTrailingZeros(m)
+        m &= m - 1
+      }
+      w += 1
     }
-    while (hi != 0L) {
-      out(i) = 64 + java.lang.Long.numberOfTrailingZeros(hi)
-      hi &= hi - 1
-      i += 1
-    }
-    out
+    out.result()
   }
 }

@@ -123,12 +123,13 @@ object Tokenizer {
     * very few DISTINCT membership masks (plain a-z chars all share one), so
     * counting (mask → char count) first and expanding set bits once per
     * distinct mask turns per-char work from ~popcount(mask) increments into
-    * one short linear probe.
+    * one short linear probe. Entries are ScriptLang.MaskWords longs each,
+    * flattened.
     */
   final class MaskScratch {
-    val lo = new Array[Long](24)
-    val hi = new Array[Long](24)
-    val cnt = new Array[Long](24)
+    val Cap = 24
+    val words: Array[Long] = new Array[Long](Cap * ScriptLang.MaskWords)
+    val cnt = new Array[Long](Cap)
     var n = 0
   }
 
@@ -146,40 +147,47 @@ object Tokenizer {
   ): Int = {
     java.util.Arrays.fill(counts, 0L)
     scratch.n = 0
+    val nw = ScriptLang.MaskWords
     var i = 0
     val n = buf.totalCps
     while (i < n) {
       val cp = buf.cps(i)
-      val lo = ScriptLang.maskOf(cp)
-      val hi = ScriptLang.maskOfHi(cp)
-      if (lo != 0L || hi != 0L) {
-        // dedup by (lo, hi): the distinct-mask count per doc is tiny
+      var any = false
+      var w = 0
+      while (w < nw && !any) { any = ScriptLang.maskWordOf(cp, w) != 0L; w += 1 }
+      if (any) {
+        // dedup by the full mask tuple: distinct-mask count per doc is tiny
         var j = 0
         var found = false
         while (j < scratch.n && !found) {
-          if (scratch.lo(j) == lo && scratch.hi(j) == hi) {
-            scratch.cnt(j) += 1
-            found = true
+          var eq = true
+          var v = 0
+          while (v < nw && eq) {
+            eq = scratch.words(j * nw + v) == ScriptLang.maskWordOf(cp, v)
+            v += 1
           }
+          if (eq) { scratch.cnt(j) += 1; found = true }
           j += 1
         }
         if (!found) {
-          if (scratch.n < scratch.lo.length) {
-            scratch.lo(scratch.n) = lo
-            scratch.hi(scratch.n) = hi
+          if (scratch.n < scratch.Cap) {
+            var v = 0
+            while (v < nw) {
+              scratch.words(scratch.n * nw + v) = ScriptLang.maskWordOf(cp, v)
+              v += 1
+            }
             scratch.cnt(scratch.n) = 1
             scratch.n += 1
           } else {
             // scratch full (pathological mixed-script text): expand directly
-            var m = lo
-            while (m != 0L) {
-              counts(java.lang.Long.numberOfTrailingZeros(m)) += 1
-              m &= m - 1
-            }
-            m = hi
-            while (m != 0L) {
-              counts(64 + java.lang.Long.numberOfTrailingZeros(m)) += 1
-              m &= m - 1
+            var v = 0
+            while (v < nw) {
+              var m = ScriptLang.maskWordOf(cp, v)
+              while (m != 0L) {
+                counts((v << 6) + java.lang.Long.numberOfTrailingZeros(m)) += 1
+                m &= m - 1
+              }
+              v += 1
             }
           }
         }
@@ -190,15 +198,14 @@ object Tokenizer {
     var k = 0
     while (k < scratch.n) {
       val c = scratch.cnt(k)
-      var m = scratch.lo(k)
-      while (m != 0L) {
-        counts(java.lang.Long.numberOfTrailingZeros(m)) += c
-        m &= m - 1
-      }
-      m = scratch.hi(k)
-      while (m != 0L) {
-        counts(64 + java.lang.Long.numberOfTrailingZeros(m)) += c
-        m &= m - 1
+      var v = 0
+      while (v < nw) {
+        var m = scratch.words(k * nw + v)
+        while (m != 0L) {
+          counts((v << 6) + java.lang.Long.numberOfTrailingZeros(m)) += c
+          m &= m - 1
+        }
+        v += 1
       }
       k += 1
     }
@@ -236,17 +243,16 @@ object Tokenizer {
       val cpsArr = ws(w).cps
       var i = 0
       while (i < cpsArr.length) {
-        // two bitmask loads per char; iterate only the set bits
+        // MaskWords bitmask loads per char; iterate only the set bits
         val cp = cpsArr(i)
-        var mask = ScriptLang.maskOf(cp)
-        while (mask != 0L) {
-          counts(java.lang.Long.numberOfTrailingZeros(mask)) += 1
-          mask &= mask - 1
-        }
-        var hi = ScriptLang.maskOfHi(cp)
-        while (hi != 0L) {
-          counts(64 + java.lang.Long.numberOfTrailingZeros(hi)) += 1
-          hi &= hi - 1
+        var v = 0
+        while (v < ScriptLang.MaskWords) {
+          var mask = ScriptLang.maskWordOf(cp, v)
+          while (mask != 0L) {
+            counts((v << 6) + java.lang.Long.numberOfTrailingZeros(mask)) += 1
+            mask &= mask - 1
+          }
+          v += 1
         }
         i += 1
       }

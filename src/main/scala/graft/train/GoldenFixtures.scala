@@ -220,6 +220,14 @@ object GoldenFixtures {
     ("vai", "ꕙꔤ", "raw"),
     ("tzm", "ⵜⴰⵎⴰⵣⵉⵖⵜ", "raw"),
     ("syr", "ܣܘܪܝܝܐ", "raw"),
+    // sixth batch (third mask word: language ids >= 128)
+    ("que", "ñuqanchik", "raw"),
+    ("mlg", "fahalalana", "raw"),
+    ("sah", "биһиги", "raw"),
+    ("udm", "ӵуказе", "raw"),
+    ("mhr", "тӱня", "raw"),
+    ("sat", "ᱚᱞ ᱪᱤᱠᱤ", "raw"),
+    ("mni", "ꯃꯤꯇꯩ ꯂꯣꯟ", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -509,6 +517,21 @@ object GoldenFixtures {
     "pus" -> v("""زه ته هغه موږ تاسو دوی نه او لپاره سره یو دوه درې کال ورځ شپه کور اوبه نړۍ
       خلک وخت ښه پوهېدل ژبه هېواد ښار کار نوی لوی کوچنی دی دا پښتو"""),
     "snd" -> v("""آئون تون هو اسين توهان اهي نه لاء سان هڪ ٻه ٽي سال ڏينهن رات گهر پاڻي دنيا
-      ماڻهو وقت سٺو ڄاڻڻ ٻولي ملڪ شهر ڪم نئون وڏو ننڍو آهي هي اهو سنڌي""")
+      ماڻهو وقت سٺو ڄاڻڻ ٻولي ملڪ شهر ڪم نئون وڏو ننڍو آهي هي اهو سنڌي"""),
+    // ---- sixth batch
+    "que" -> v("""ñuqa qam pay ñuqanchik qamkuna paykuna mana hina paq wan huk iskay kimsa wata
+      tuta wasi yaku pacha runa allin yachay simi llaqta musuq hatun kani kay chay runasimi
+      punchaw llamkay"""),
+    "mlg" -> v("""izaho ianao izy isika ianareo tsy sy ho amin iray roa telo taona andro alina
+      trano rano tontolo olona fotoana tsara fahalalana fiteny firenena tanàna asa vaovao
+      lehibe kely misy ity iny malagasy"""),
+    "sah" -> v("""мин эн кини биһиги эһиги кинилэр буолбатах уонна иһин кытта биир икки үс сыл
+      күн түүн дьиэ уу дойду дьон кэм үчүгэй билии тыл куорат үлэ саҥа улахан кыра баар бу ол
+      саха"""),
+    "udm" -> v("""мон тон со ми тӥ соос ӧвӧл но понна одӥг кык куинь ар нунал уй корка ву
+      дунне калык дыр умой тодыны кыл шаер кар уж выль бадӟым пичи вань та со удмурт ӵуказе
+      ӟуч"""),
+    "mhr" -> v("""мый тый тудо ме те нуно огыл да верч дене ик кок кум ий кече йӱд пӧрт вӱд
+      тӱня еҥ жап сай палаш йылме эл ола паша у кугу изи улам тиде марий"""),
   )
 }

@@ -14,7 +14,7 @@ class ScriptLangSpec extends AnyFunSuite {
   test("registry: unique codes, valid script names, lowercase alphabets") {
     val codes = ScriptLang.all.map(_.code)
     assert(codes.distinct.size == codes.size, "duplicate language codes")
-    assert(ScriptLang.count <= 128, "two-long bitmask bound")
+    assert(ScriptLang.MaskWords == (ScriptLang.count + 63) / 64, "mask width follows registry size")
     ScriptLang.all.foreach { l =>
       assert(l.scripts.nonEmpty, s"${l.code}: no scripts")
       l.scripts.foreach { s =>
