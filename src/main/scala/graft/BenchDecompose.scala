@@ -155,6 +155,68 @@ object BenchDecompose {
         noop(FilterPipeline.run(spark, pages, bc)) // warm
         println("=== timed run ===")
         noop(FilterPipeline.run(spark, pages, bc))
+      case "ivf" =>
+        // IVF assign-step scaling: flat O(k) scan per vector vs the
+        // two-level codebook's O(√k·w). Deterministic synthetic
+        // embeddings, n=200k, d=64, k=⌈√n⌉≈448.
+        import graft.operators.Similarity
+        val n = 200000
+        val d = 64
+        val emb = spark.range(n).select($"id".as("vec_id")).as[Long].map { id =>
+          val v = new Array[Double](d)
+          var x = id * 0x9e3779b97f4a7c15L + 1
+          var i = 0
+          while (i < d) {
+            x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+            x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+            v(i) = ((x ^ (x >>> 31)).toDouble / Long.MaxValue)
+            i += 1
+          }
+          (id, v)
+        }.toDF("vec_id", "v").cache()
+        emb.count()
+        val k0 = math.ceil(math.sqrt(n.toDouble)).toInt
+        val fine = emb.as[(Long, Array[Double])].filter(_._1 < k0).collect()
+          .sortBy(_._1).map(_._2)
+        val bcBook = spark.sparkContext.broadcast(Similarity.buildCodebook(fine, 4))
+        val bcFlat = spark.sparkContext.broadcast(fine)
+        timed(s"ivf_assign_flat_n${n}_k$k0") {
+          noop(emb.as[(Long, Array[Double])].map { case (id, v) =>
+            val cents = bcFlat.value
+            var bestC = -1
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cents.length) {
+              var dd = 0.0
+              var i = 0
+              while (i < d) { val x = v(i) - cents(c)(i); dd += x * x; i += 1 }
+              if (dd < bestD) { bestD = dd; bestC = c }
+              c += 1
+            }
+            (id, bestC)
+          }.toDF("vec_id", "cid"))
+        }
+        timed(s"ivf_assign_twolevel_n${n}_k$k0") {
+          noop(emb.as[(Long, Array[Double])].map { case (id, v) =>
+            (id, bcBook.value.nearestFine(v))
+          }.toDF("vec_id", "cid"))
+        }
+        // agreement: fraction of vectors assigned to the same centroid
+        val agree = emb.as[(Long, Array[Double])].map { case (_, v) =>
+          val cents = bcFlat.value
+          var bestC = -1
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var dd = 0.0
+            var i = 0
+            while (i < d) { val x = v(i) - cents(c)(i); dd += x * x; i += 1 }
+            if (dd < bestD) { bestD = dd; bestC = c }
+            c += 1
+          }
+          if (bestC == bcBook.value.nearestFine(v)) 1L else 0L
+        }.reduce(_ + _)
+        println(f"DECOMP ivf_assign_agreement ${agree.toDouble / n}%.4f")
       case other => println(s"unknown mode $other")
     }
     spark.stop()

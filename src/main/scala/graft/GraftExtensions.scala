@@ -37,6 +37,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => graft.functions.FnvHash64(exprs.head)),
     ("cosine_sim",
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>"),
-      (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs.head, exprs(1)))
+      (exprs: Seq[Expression]) => graft.functions.CosineSim(exprs.head, exprs(1))),
+    ("min_md5_shingle",
+      info("min_md5_shingle",
+        "min_md5_shingle(str, k) - min md5 over all k-code-point shingles (hex), NULL if shorter than k"),
+      (exprs: Seq[Expression]) => graft.functions.MinMd5Shingle(
+        exprs.head, exprs(1).eval(null).asInstanceOf[Int]))
   )
 }

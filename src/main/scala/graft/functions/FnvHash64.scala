@@ -41,11 +41,19 @@ object FnvHash64 {
     var i = 0
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
+      val w = if (b0 < 0x80) 1 else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
       var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if (b0 < 0xe0) {
+      if (i + w > n) {
+        // truncated multi-byte sequence at end of buffer (malformed crawl
+        // data): UTF8String.getByte is an UNCHECKED Platform read, so
+        // running the normal decode would read past the buffer and hash
+        // nondeterministically. Degrade deterministically instead: feed
+        // the raw lead byte as the code point and stop.
+        cp = b0; i = n
+      } else if (w == 1) { cp = b0; i += 1 }
+      else if (w == 2) {
         cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f); i += 2
-      } else if (b0 < 0xf0) {
+      } else if (w == 3) {
         cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
           (s.getByte(i + 2) & 0x3f); i += 3
       } else {

@@ -217,9 +217,11 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     // closed form per candidate l: floor(l) × (hitNgrams − ownHits(l)) —
     // one multiply at the end instead of an O(nCand) loop per hit n-gram
     // (which dominated at 100+ registered languages). Floating-point note:
-    // the product replaces repeated addition of the same double — exact to
-    // within an ulp of the reference's accumulation and covered by the
-    // mock-parity and golden suites.
+    // the product reorders the reference's interleaved summation, so
+    // results are equivalent only up to floating-point reassociation — a
+    // razor-thin rank tie could in principle flip vs the reference's
+    // ngrams_sum_cnt ordering. Behavioral equivalence is gated by the
+    // mock-parity and golden suites, not by a bitwise claim.
     val cps = tokBuf.cps
     var charHitNgrams = 0
     var s = 0

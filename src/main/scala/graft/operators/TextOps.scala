@@ -3,7 +3,6 @@ package graft.operators
 import graft.lang.NgramHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Text analysis + deduplication operators for a training-data pipeline
   * over the `documents` table: token stats, quality scores, PII scrub,
@@ -292,26 +291,78 @@ object TextOps {
     */
   def q19NgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
     import spark.implicits._
+    // repartition BEFORE shingling: the broadcast-df prefix plan below has
+    // no exchange between the scan and the candidate join, so the scan's
+    // split count caps parallelism for the whole chain (sf0.1 = one
+    // parquet file = one core without this; at 100 TB the scan itself has
+    // the splits and this exchange coalesces nothing of note)
     val docs = Tables.documents(spark, sfDir)
-      .select($"source", $"doc_id", $"text").as[(String, Long, String)]
+      .select($"source", $"doc_id", $"text")
+      .repartition($"doc_id")
+      .as[(String, Long, String)]
       .map { case (src, id, text) => (src, id, shingleHashes(text, ShingleSize)) }
       .toDF("source", "doc_id", "shingles")
 
     val grams = docs.select($"source", $"doc_id", explode($"shingles").as("gram"))
     val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
 
-    // rank each doc's grams by the global (df, gram) order; keep the prefix
-    val w = Window.partitionBy($"doc_id").orderBy($"df", $"gram")
-    val prefixes = grams
-      .join(df, "gram")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
-      .select($"source", $"doc_id", $"gram", $"sz")
+    // Per-doc prefix under the global (df, gram) order. CORRECTNESS only
+    // needs a total order SHARED by all documents — any order yields the
+    // exact J ≥ t pair set; (df asc, gram asc) is the heuristic that
+    // minimizes candidates (rare grams land in prefixes). Two plans:
+    //
+    //  - df fits a broadcast (synthetic corpora; real corpora after
+    //    hot-gram capping): collect the (gram → df) table once and select
+    //    each doc's prefix INSIDE the shingle pass — zero extra shuffle.
+    //  - else: hash-agg the (df, gram) pairs back per doc (collect_list is
+    //    bounded by the doc's own distinct-gram count) and select the
+    //    prefix with one in-memory partial sort per doc.
+    //
+    // Neither plan sorts globally: the round-2 `row_number` window shuffled
+    // AND fully sorted every (doc, gram, df) occurrence twice (rank + size
+    // windows), the q19 regression (2.9 → 6.5 s at sf0.1). At 100 TB the
+    // broadcast path still applies with an APPROXIMATE order (top-K hot
+    // grams by sampled df + hash order for the tail) — still exact output,
+    // only the candidate count is heuristic.
+    def selectPrefix(src: String, id: Long, dg: Array[(Long, Long)]): Iterator[(String, Long, Long, Int)] = {
+      val sz = dg.length
+      val keep = sz - math.ceil(sz * threshold).toInt + 1
+      java.util.Arrays.sort(dg, implicitly[Ordering[(Long, Long)]])
+      dg.iterator.take(keep).map { case (_, gram) => (src, id, gram, sz) }
+    }
+    val dfBroadcastMax = 4 << 20 // ~64 MB of (gram, df) pairs
+    // ONE job probes size and fetches: limit(max+1) truncating ⇔ too big
+    val probe = df.limit(dfBroadcastMax + 1).as[(Long, Long)].collect()
+    val prefixes = (
+      if (probe.length <= dfBroadcastMax) {
+        val pairs = probe.sortBy(_._1)
+        val gs = pairs.map(_._1)
+        val ds = pairs.map(_._2)
+        val bc = spark.sparkContext.broadcast((gs, ds))
+        docs.as[(String, Long, Array[Long])].flatMap { case (src, id, sh) =>
+          val (g, d) = bc.value
+          selectPrefix(src, id, sh.map { x =>
+            (d(java.util.Arrays.binarySearch(g, x)), x)
+          })
+        }
+      } else {
+        grams
+          .join(df, "gram")
+          .groupBy($"source", $"doc_id")
+          .agg(collect_list(struct($"df", $"gram")).as("dg"))
+          .as[(String, Long, Array[(Long, Long)])]
+          .flatMap { case (src, id, dg) => selectPrefix(src, id, dg) }
+      }
+    ).toDF("source", "doc_id", "gram", "sz")
 
     // length filter (also exact): J(A,B) ≥ t forces t·|B| ≤ |A| (and vice
-    // versa), so size-incompatible pairs are pruned before the distinct
-    val candidates = prefixes.as("l")
+    // versa), so size-incompatible pairs are pruned before the distinct.
+    // The merge hint matters: with ~10³ distinct grams the join keys are
+    // extremely hot, and sort-merge enumerates each key group from two
+    // sorted runs (sequential, cache-friendly) where a hash join walks a
+    // 7·10⁵-entry chain-bucketed HashedRelation per probe — measured 4.5 s
+    // (broadcast-hash) vs 1.8 s (sort-merge) on identical inputs at sf0.1.
+    val candidates = prefixes.as("l").hint("merge")
       .join(prefixes.as("r"), expr(
         s"""l.source = r.source AND l.gram = r.gram AND l.doc_id < r.doc_id
            |AND l.sz >= ceil(r.sz * $threshold) AND r.sz >= ceil(l.sz * $threshold)""".stripMargin))
@@ -333,18 +384,19 @@ object TextOps {
   /** Document fingerprint, winnowing flavor: whole-content hash + the
     * minimum hash over the document's 5-char shingles (the standard
     * winnowing selection at window = whole document). Hashes are md5 so
-    * the operator is reproducible in ANSI SQL (the DuckDB oracle); fully
-    * declarative — transform/array_min stay in whole-stage codegen. The
-    * pipeline's 64-bit rolling NgramHash variant of the same idea lives in
-    * FilterPipeline (text_hash) and fnv_hash64.
+    * the operator is reproducible in ANSI SQL (the DuckDB oracle). The
+    * min is computed by the native `min_md5_shingle` expression — ONE
+    * streaming pass, O(k) memory per row; the round-2 declarative
+    * transform/array_min form materialized an O(|text|) array of md5
+    * strings per row (13.7 s at sf0.1, OOM risk on long pages — see
+    * MinMd5Shingle's scaladoc). The pipeline's 64-bit rolling NgramHash
+    * variant of the same idea lives in FilterPipeline (text_hash) and
+    * fnv_hash64.
     */
   def q24Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("content_hash"),
-        when(length(col("text")) >= 5,
-          array_min(expr(
-            "transform(sequence(1, length(text) - 4), i -> md5(cast(substring(text, i, 5) as binary)))")))
-          .otherwise(lit(null).cast("string")).as("min_shingle"))
+        graft.functions.MinMd5Shingle(col("text"), 5).as("min_shingle"))
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The web-scale quality-filter pipeline (BASELINE.json north_star):
-  * Common-Crawl-style pages → host-scoped exact-dup rule (first copy
-  * wins, computed as a sort-free min-aggregate + shuffled-hash join) →
+  * Common-Crawl-style pages → host-scoped exact-dup rule (first copy by
+  * (warc_ts, url) wins, a `row_number` window over the content key) →
   * language-ID (broadcast langram-equivalent model inside ONE fused typed
   * partition map, which also computes the perplexity proxy, OOV coverage,
   * heuristic quality features, and the PII/toxicity scrub) → keep/drop
@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *  - ONE wide exchange total, keyed by (xxhash64(host), xxhash64(text)):
   *    the content hash spreads a Zipf-hot host uniformly (skew defense —
   *    see also `saltedRepartition`) while co-locating exact duplicates
-  *    for the dedup join; the fused kernel runs downstream shuffle-free;
-  *  - NO sort anywhere: dedup is an aggregate + hash join on two longs
-  *    (see `run`'s scaladoc), and duplicates skip the detection kernel.
+  *    for the dedup window; the fused kernel runs downstream shuffle-free;
+  *  - the only sort is the dedup window's per-reduce-partition sort on
+  *    two longs + (ts, url) — a measured tie against the sort-free
+  *    min-aggregate + join variant, kept for one-scan exactness (see
+  *    `run`'s scaladoc for the measured alternatives);
+  *  - duplicates skip the detection kernel entirely.
   */
 object FilterPipeline {
 

@@ -95,6 +95,9 @@ class SimilaritySpec extends AnyFunSuite {
   test("q26 bucket width scales with corpus size") {
     assert(Similarity.planesFor(64) == 2)
     assert(Similarity.planesFor(4096) == 6)
-    assert(Similarity.planesFor(1L << 40) == 34) // 100 TB-ish row counts stay bounded
+    // 100 TB-ish row counts: capped at MaxPlanes so the packed bucket key
+    // never sign-extends and 1L << p never wraps (recall is tuned with
+    // more tables beyond the cap, not more planes)
+    assert(Similarity.planesFor(1L << 40) == Similarity.MaxPlanes)
   }
 }
