@@ -299,6 +299,33 @@ object SparkEntry {
         |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w)
         |SELECT doc_id, round(max(c)::DOUBLE/sum(c), 4) AS repetition_ratio,
         | sum(c)::BIGINT AS n_words
-        |FROM c GROUP BY doc_id""".stripMargin
+        |FROM c GROUP BY doc_id""".stripMargin,
+    // `__OUT_DIR__` is substituted by graft.Verify with the ABSOLUTE dump
+    // directory at dump time: these two oracles aggregate/recompute over
+    // OTHER dumped query outputs, checking the distributed aggregation
+    // (q23 over q21's per-doc labels) and the keep/drop gate logic (q28
+    // over its own kernel feature columns) in DuckDB. The detection
+    // kernel itself is gated by the sbt suites (mock parity, golden
+    // corpus, held-out accuracy), not SQL — DuckDB cannot express it.
+    "q23_lang_profile" ->
+      """SELECT lang_detected, count(*) AS n_docs,
+        | sum(round(confidence * 10000)::BIGINT)::BIGINT AS conf_sum_e4
+        |FROM read_parquet('__OUT_DIR__/q21_langid/*.parquet')
+        |GROUP BY lang_detected""".stripMargin,
+    "q28_pipeline_filter" ->
+      """WITH f AS (SELECT * FROM read_parquet('__OUT_DIR__/q28_pipeline_filter/*.parquet')),
+        |g AS (SELECT url, warc_ts, host, lang, confidence, perplexity,
+        |  coverage, word_count, repetition_ratio, avg_word_len,
+        |  stopword_ratio, n_lines, max_line_len, text_hash, scrubbed_text,
+        |  is_dup,
+        |  CASE WHEN is_dup THEN 'dup'
+        |       WHEN word_count < 20 THEN 'too_short'
+        |       WHEN repetition_ratio > 0.3 THEN 'repetition'
+        |       WHEN confidence < 0.5 THEN 'low_confidence'
+        |       WHEN coverage < 0.2 THEN 'low_coverage'
+        |       WHEN perplexity > 10000.0 THEN 'high_perplexity'
+        |       END AS drop_reason
+        | FROM f)
+        |SELECT *, (drop_reason IS NULL) AS keep FROM g""".stripMargin
   )
 }

@@ -88,6 +88,52 @@ final class ProbTable private (
 object ProbTable {
   val empty: ProbTable = build(Map.empty)
 
+  /** Incremental builder with pre-sized arrays: the streaming model-pack
+    * path (ModelIO.packDistributed) feeds (key, langId-sorted postings)
+    * entries one at a time from a toLocalIterator, so the driver never
+    * holds more than the FINAL table arrays (which are the broadcast
+    * payload itself) plus one entry.
+    */
+  final class Builder(nKeys: Int, nPostings: Int) {
+    private var cap = 16
+    while (cap < nKeys * 2) cap <<= 1
+    private val keys = new Array[Long](cap)
+    private val starts = new Array[Int](cap)
+    private val lens = new Array[Int](cap)
+    private val postLangs = new Array[Short](nPostings)
+    private val postProbs = new Array[Float](nPostings)
+    private val mask = cap - 1
+    private var cursor = 0
+
+    /** postings must already be sorted by langId. */
+    def add(key0: Long, langs: Array[Int], probs: Array[Double]): Unit = {
+      val key = if (key0 == 0L) NgramHash.ZeroRemap else key0
+      var h = key
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var i = (h ^ (h >>> 31)).toInt & mask
+      while (keys(i) != 0L) {
+        require(keys(i) != key, s"duplicate ngram key $key")
+        i = (i + 1) & mask
+      }
+      keys(i) = key
+      starts(i) = cursor
+      lens(i) = langs.length
+      var j = 0
+      while (j < langs.length) {
+        postLangs(cursor) = langs(j).toShort
+        postProbs(cursor) = probs(j).toFloat
+        cursor += 1
+        j += 1
+      }
+    }
+
+    def result(): ProbTable = {
+      require(cursor == nPostings, s"builder fed $cursor of $nPostings postings")
+      new ProbTable(keys, starts, lens, postLangs, postProbs)
+    }
+  }
+
   /** Build from ngramHash → sorted postings ((langId, lnProb)). */
   def build(entries: Map[Long, Array[(Int, Double)]]): ProbTable = {
     var cap = 16

@@ -61,10 +61,19 @@ object LangOps {
     spark.udf.register("detect_lang", f)
   }
 
-  /** Corpus language profile: detected-language histogram. */
+  /** Corpus language profile: detected-language histogram. Confidence is
+    * aggregated as an e4 FIXED-POINT SUM (q21 already rounds confidence to
+    * 1e-4, so `round(confidence·10⁴)` is an exact integer in any engine):
+    * the profile is integer-exact and therefore DuckDB-oracle-able over
+    * the dumped q21 output — `round(avg(...), 4)` could flip its last
+    * digit across engines on representational ties. avg_conf =
+    * conf_sum_e4 / (n_docs·10⁴) when a reader wants it.
+    */
   def q23LangProfile(spark: SparkSession, sfDir: String): DataFrame =
     q21LangId(spark, sfDir)
       .groupBy(col("lang_detected"))
-      .agg(count(lit(1)).as("n_docs"), round(avg(col("confidence")), 4).as("avg_conf"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("confidence") * 10000).cast("long")).as("conf_sum_e4"))
       .orderBy(col("lang_detected"))
 }

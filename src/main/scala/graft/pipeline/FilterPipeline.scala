@@ -336,7 +336,9 @@ object FilterPipeline {
           .otherwise(lit(null).cast("string"))
       )
       .withColumn("keep", $"drop_reason".isNull)
-      .drop("is_dup")
+      // is_dup stays in the output: it is per-partition lineage (dup counts
+      // by source partition) and lets the q28 gate-logic oracle recompute
+      // drop_reason/keep from the row itself
   }
 
   /** Convenience: pipeline over a freshly generated corpus with the fixture

@@ -114,9 +114,13 @@ object SnapshotStore {
 
   /** Run the filter pipeline over a day-partitioned pages table with
     * resume: input partitions already in the current manifest are skipped;
-    * each processed partition's output is written under `data/p_date=…` and
-    * committed with row/keep counts (per-partition lineage) in ONE manifest
-    * move.
+    * each processed partition's output is written under `data/p_date=…`
+    * and committed IMMEDIATELY (one atomic manifest move per partition,
+    * carrying forward all prior entries) — a crash mid-run loses at most
+    * the in-flight partition's lineage; everything committed before it
+    * resumes for free. The round-2 shape committed once at the END of the
+    * run, so a crash at partition k of n redid all k−1 finished
+    * partitions.
     *
     * Returns the list of partitions processed in THIS run.
     */
@@ -124,7 +128,12 @@ object SnapshotStore {
       spark: SparkSession,
       pagesPath: String,
       outRoot: String,
-      model: org.apache.spark.broadcast.Broadcast[graft.lang.PackedModel]
+      model: org.apache.spark.broadcast.Broadcast[graft.lang.PackedModel],
+      /** invoked after each partition's commit — crash-injection seam for
+        * the kill-after-k resume test (PipelineSpec); a production caller
+        * can hook progress reporting here.
+        */
+      onPartitionCommitted: String => Unit = _ => ()
   ): Seq[String] = {
     import spark.implicits._
     val store = new SnapshotStore(outRoot)
@@ -141,7 +150,7 @@ object SnapshotStore {
     val todo = allParts.filterNot(done)
     if (todo.isEmpty) return Seq.empty
 
-    val entries = todo.map { part =>
+    todo.zipWithIndex.foreach { case (part, idx) =>
       val slice = pages.filter($"p_date" === part)
       val result = FilterPipeline.run(spark, slice, model)
       val out = store.dataPath(part)
@@ -155,17 +164,17 @@ object SnapshotStore {
       val drops = written.filter(!$"keep")
         .groupBy($"drop_reason").count()
         .as[(String, Long)].collect().toMap
-      store.PartitionEntry(part, rows, kept, out, drops)
-    }.toSeq
-
-    store.commit(
-      entries,
-      Map(
-        "job" -> "quality_filter",
-        "model_hash" -> graft.lang.PackedModel.registryHash.toString,
-        "partitions_in_run" -> todo.length.toString
+      store.commit(
+        Seq(store.PartitionEntry(part, rows, kept, out, drops)),
+        Map(
+          "job" -> "quality_filter",
+          "model_hash" -> graft.lang.PackedModel.registryHash.toString,
+          "partitions_in_run" -> todo.length.toString,
+          "partition_in_run" -> (idx + 1).toString
+        )
       )
-    )
+      onPartitionCommitted(part)
+    }
     todo.toSeq
   }
 }

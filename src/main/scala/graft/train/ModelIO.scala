@@ -39,11 +39,99 @@ object ModelIO {
       hashes.forall(_ == PackedModel.registryHash),
       s"model schema hash mismatch: ${hashes.mkString(",")} vs ${PackedModel.registryHash}"
     )
-    val rows = df
-      .select($"lang", $"size", $"ngram", $"logprob")
+    packDistributed(spark, df.select($"lang", $"size", $"ngram", $"logprob"))
+  }
+
+  /** Distributed model pack: the postings aggregation — hash each ngram,
+    * group by (size, hash), langId-sort, collision-check — runs IN SPARK;
+    * the driver streams the finished (size, hash, postings) entries
+    * through `toLocalIterator` into pre-sized ProbTable builders. At no
+    * point does the driver hold the model ROWS or the ngram STRINGS — its
+    * peak footprint is the final primitive arrays (the broadcast payload
+    * itself) plus one in-flight partition. This replaces the round-2
+    * `collect()`-everything pack, which at 188-language scale (GBs of
+    * postings plus a string per ngram) made the driver the chokepoint of
+    * O20/O26/O27 (reference: src/detector/storage.rs:40-135 loads via mmap;
+    * broadcast-from-aggregated-parquet is the Spark shape of the same
+    * step).
+    */
+  def packDistributed(spark: SparkSession, rows: DataFrame): PackedModel = {
+    import spark.implicits._
+    val hashed = rows
       .as[(String, Int, String, Double)]
-      .collect()
-    fromRows(rows)
+      .map { case (lang, size, ngram, prob) =>
+        (size, graft.lang.NgramHash.ofString(ngram), ScriptLang.id(lang), prob, ngram)
+      }
+      .toDF("gsize", "hash", "lang_id", "prob", "ngram")
+
+    // postings per (size, hash), langId-sorted (array_sort on the struct
+    // orders by lang_id first); countDistinct(ngram) ≠ 1 ⇔ hash collision
+    val postings = hashed
+      .groupBy($"gsize", $"hash")
+      .agg(
+        countDistinct($"ngram").as("n_distinct"),
+        array_sort(collect_list(struct($"lang_id", $"prob"))).as("posts"))
+
+    // per-size table dimensions for exact pre-allocation (tiny agg)
+    val dims = postings
+      .groupBy($"gsize")
+      .agg(count(lit(1)).as("n_keys"), sum(size($"posts")).as("n_posts"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (s, k, p) => s -> ((k.toInt, p.toInt)) }.toMap
+
+    def builderFor(s: Int) = {
+      val (k, p) = dims.getOrElse(s, (0, 0))
+      new graft.lang.ProbTable.Builder(k, p)
+    }
+    val builders = Array.tabulate(6)(builderFor) // index: 0=word, 1..5=char
+
+    // stream: one partition in driver memory at a time
+    val it = postings
+      .select($"gsize", $"hash", $"n_distinct", $"posts")
+      .as[(Int, Long, Long, Array[(Int, Double)])]
+      .toLocalIterator()
+    while (it.hasNext) {
+      val (s, h, nDistinct, posts) = it.next()
+      require(nDistinct == 1L, s"ngram hash collision on key $h (size $s)")
+      builders(s).add(h, posts.map(_._1), posts.map(_._2))
+    }
+
+    // small per-language aggregates: floors, wordgram floor, stopwords
+    val uniCounts = hashed.filter($"gsize" === 1)
+      .groupBy($"lang_id").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect()
+    val n = ScriptLang.count
+    val floors = Array.fill(n)(Double.NegativeInfinity)
+    uniCounts.foreach { case (lid, c) => floors(lid) = math.log(1.0 / c.toDouble) }
+    val maxFloor = floors.max + 0.05
+    var i = 0
+    while (i < n) { floors(i) -= maxFloor; i += 1 }
+
+    val wfRow = hashed.filter($"gsize" === 0).agg(min($"prob" * 4.0)).head()
+    val wordFloor = if (wfRow.isNullAt(0)) 0.0 else math.min(0.0, wfRow.getDouble(0))
+
+    val stopThreshold = math.log(0.01)
+    val stopwords = Array.fill(n)(Array.emptyLongArray)
+    hashed.filter($"gsize" === 0 && $"prob" >= stopThreshold)
+      .groupBy($"lang_id").agg(collect_list($"hash").as("hs"))
+      .as[(Int, Array[Long])].collect()
+      .foreach { case (lid, hs) =>
+        java.util.Arrays.sort(hs)
+        stopwords(lid) = hs
+      }
+
+    val modeled = hashed.select($"lang_id").distinct().as[Int].collect().sorted
+
+    new PackedModel(
+      nLangs = n,
+      charFloors = floors,
+      wordgramFloor = wordFloor,
+      charTables = Array.tabulate(5)(s => builders(s + 1).result()),
+      wordTable = builders(0).result(),
+      modeledLangs = modeled,
+      schemaHash = PackedModel.registryHash,
+      stopwordHashes = stopwords
+    )
   }
 
   /** Pack (lang, size∈{0..5}, ngram, logprob) rows; size 0 = wordgram. */

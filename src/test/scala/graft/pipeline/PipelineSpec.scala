@@ -121,7 +121,8 @@ class PipelineSpec extends AnyFunSuite {
     val manifestJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(outRoot, currentRel))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(manifestJson)
-    assert(node.get("snapshot_id").asInt() == 2)
+    // one commit PER PARTITION: run1 = manifests 1,2; run2 = manifest 3
+    assert(node.get("snapshot_id").asInt() == 3)
     val entries = node.get("entries")
     assert(entries.isArray && entries.size() == 3, s"expected 3 entries: $manifestJson")
     (0 until entries.size()).foreach { i =>
@@ -135,5 +136,34 @@ class PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(outRoot, "snapshots", "manifest-oops.tmp"), "{}")
     store.commit(Seq.empty, Map("noop" -> "true"))
     assert(store.committedPartitions() == allParts.toSet)
+  }
+
+  test("crash after k of n partition commits loses at most the in-flight work") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap-crash").toString
+    val pagesPath = s"$tmp/pages"
+    val outRoot = s"$tmp/out"
+    PagesGen.writePartitioned(spark, 600, pagesPath) // 3 day-partitions
+    val bc = LangOps.broadcastModel(spark)
+
+    // crash injected right after the SECOND partition's commit
+    var committed = 0
+    val crash = intercept[RuntimeException] {
+      SnapshotStore.runResumable(spark, pagesPath, outRoot, bc,
+        onPartitionCommitted = _ => {
+          committed += 1
+          if (committed == 2) throw new RuntimeException("injected crash")
+        })
+    }
+    assert(crash.getMessage == "injected crash")
+
+    // the two finished partitions ARE committed (per-partition manifests)
+    val store = new SnapshotStore(outRoot)
+    assert(store.committedPartitions().size == 2)
+
+    // resume reprocesses ONLY the one partition the crash preempted
+    val resumed = SnapshotStore.runResumable(spark, pagesPath, outRoot, bc)
+    assert(resumed.length == 1, s"expected 1 reprocessed partition, got $resumed")
+    assert(store.committedPartitions().size == 3)
+    assert(spark.read.parquet(s"$outRoot/data").count() == 600L)
   }
 }

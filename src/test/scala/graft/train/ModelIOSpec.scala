@@ -63,6 +63,53 @@ class ModelIOSpec extends AnyFunSuite {
       .map(ScriptLang.code).contains("deu"))
   }
 
+  test("packDistributed streams a 1e5-entries-per-lang model through load") {
+    import spark.implicits._
+    // Synthetic model far beyond fixture scale: 120k distinct ngrams per
+    // language across all 6 sizes. The point is the LOAD PATH SHAPE —
+    // postings aggregated in Spark, streamed into pre-sized builders via
+    // toLocalIterator; the driver never materializes the row set or the
+    // ngram strings (the round-2 collect()-pack did both).
+    val n = 120000L
+    val langs = Seq("eng", "deu")
+    def enc(x: Long): String = {
+      val sb = new StringBuilder
+      var v = x
+      (0 until 5).foreach { _ => sb.append(('a' + (v % 26)).toChar); v /= 26 }
+      sb.toString
+    }
+    val rows = spark.range(n).flatMap { i =>
+      val size = (i % 6).toInt
+      langs.map(l => (l, size, s"$l${enc(i)}", -1.0 - (i % 97).toDouble / 97.0))
+    }.toDF("lang", "size", "ngram", "logprob")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-model-scale").toString
+    ModelIO.write(rows, s"$tmp/model")
+    val loaded = ModelIO.load(spark, s"$tmp/model")
+    // ngram strings are lang-prefixed → every (lang, size, ngram) is its
+    // own key with a single posting
+    assert(loaded.entryCount == 2L * n, s"entryCount=${loaded.entryCount}")
+
+    // equivalence vs the in-memory reference pack on the same rows
+    val direct = ModelIO.fromRows(
+      rows.as[(String, Int, String, Double)].collect())
+    assert(loaded.wordgramFloor == direct.wordgramFloor)
+    assert(loaded.charFloors.toSeq == direct.charFloors.toSeq)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val i = rnd.nextLong(n)
+      val size = (i % 6).toInt
+      val key = graft.lang.NgramHash.ofString(s"eng${enc(i)}")
+      def probe(m: graft.lang.PackedModel): (Short, Float) = {
+        val t = if (size == 0) m.wordTable else m.charTables(size - 1)
+        val s = t.find(key)
+        assert(s >= 0, s"missing key for i=$i size=$size")
+        (t.postLangs(t.starts(s)), t.postProbs(t.starts(s)))
+      }
+      assert(probe(loaded) == probe(direct), s"posting drift at i=$i")
+    }
+  }
+
   test("detect_lang SQL function over the broadcast model") {
     LangOps.registerSql(spark)
     val r = spark.sql(
