@@ -32,11 +32,11 @@ case class MinMd5Shingle(child: Expression, k: Int) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    MinMd5Shingle.eval(input.asInstanceOf[UTF8String], k)
+    MinMd5Shingle.evalShingle(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.MinMd5Shingle.eval($c, $k);
+      ${ev.value} = graft.functions.MinMd5Shingle.evalShingle($c, $k);
       ${ev.isNull} = ${ev.value} == null;
     """)
 
@@ -52,14 +52,18 @@ object MinMd5Shingle {
   }
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  /** Static entry the generated code calls. Walks code-point start offsets
+  /** Static entry the generated code calls — named to avoid clashing with
+    * Expression.eval(InternalRow): a same-named member suppresses the
+    * Scala static forwarder, which made janino fail to resolve the call
+    * and silently dropped the whole stage to the interpreted path.
+    * Walks code-point start offsets
     * with a ring buffer; each k-code-point window is digested from the
     * UTF-8 bytes directly (no substring materialization) and compared
     * against the running 16-byte minimum. Malformed UTF-8 degrades
     * deterministically: a leading-byte width that would run past the end
     * is clamped to the buffer.
     */
-  def eval(s: UTF8String, k: Int): UTF8String = {
+  def evalShingle(s: UTF8String, k: Int): UTF8String = {
     val bytes = s.getBytes // one defensive copy; base may be off-heap
     val n = bytes.length
     val md = localMd.get()

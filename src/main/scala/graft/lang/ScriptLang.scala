@@ -197,7 +197,50 @@ object ScriptLang {
       "udm" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӥӧӵӝӟ"), // Udmurt
       "mhr" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёҥӧӱ"),   // Meadow Mari
       "sat" -> scriptOnly("OL_CHIKI"),    // Santali
-      "mni" -> scriptOnly("MEETEI_MAYEK") // Manipuri
+      "mni" -> scriptOnly("MEETEI_MAYEK"), // Manipuri
+      // ---- seventh batch (round 3): same-script model races (yue vs cmn,
+      // arz vs arb, bho/mai/san vs hin/mar/nep, zsm/min vs ind, war/hil/ilo
+      // vs ceb/tgl, xho/ssw vs zul, sot/nso vs tsn, run vs kin, bos vs hrv,
+      // glg vs spa/por, scn vs ita, pcm/bis vs eng/tpi, tah vs haw/smo/ton,
+      // kom/tyv/bua vs udm/sah/khk) plus Romance/Germanic minority
+      // languages. Popularity-ordered append, same contract as prior
+      // batches.
+      "pcm" -> latin(""),                 // Nigerian Pidgin
+      "yue" -> scriptOnly("HAN"),         // Cantonese (races cmn_Hans/Hant)
+      "arz" -> (Set("ARABIC"), cps("ابتثجحخدذرزسشصضطظعغفقكلمنهويءآأؤإئةى")), // Egyptian Arabic
+      "bho" -> scriptOnly("DEVANAGARI"),  // Bhojpuri
+      "zsm" -> latin(""),                 // Standard Malay (races ind)
+      "mai" -> scriptOnly("DEVANAGARI"),  // Maithili
+      "run" -> latin(""),                 // Kirundi (races kin)
+      "hil" -> latin(""),                 // Hiligaynon
+      "xho" -> latin(""),                 // Xhosa (races zul)
+      "ilo" -> latin(""),                 // Ilocano
+      "sot" -> latin(""),                 // Southern Sotho
+      "min" -> latin(""),                 // Minangkabau
+      "scn" -> latin("àèìòù"),            // Sicilian
+      "nso" -> latin("š"),                // Northern Sotho (Sepedi)
+      "war" -> latin(""),                 // Waray (races ceb)
+      "bos" -> latin("čćđšž"),            // Bosnian (Latin)
+      "glg" -> latin("áéíóúüñ"),          // Galician
+      "tso" -> latin(""),                 // Tsonga
+      "ssw" -> latin(""),                 // Swati
+      "aym" -> latin("äïüñ"),             // Aymara
+      "ven" -> latin("ḓṱṋḽṅ"),            // Venda
+      "oci" -> latin("àáèéíòóúç"),        // Occitan
+      "fry" -> latin("âêîôûéëïäöü"),      // West Frisian
+      "ltz" -> latin("éëèäöü"),           // Luxembourgish
+      "bua" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёөүһ"), // Buryat
+      "pap" -> latin("èòùüñáéíóú"),       // Papiamento
+      "tyv" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёңөү"), // Tuvan
+      "bre" -> latin("ñâêîùüéè"),         // Breton
+      "kom" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӧі"),  // Komi
+      "fao" -> latin("áðíóúýæø"),         // Faroese
+      "tah" -> latin("āēīōū"),            // Tahitian
+      "kal" -> latin(""),                 // Greenlandic
+      "san" -> scriptOnly("DEVANAGARI"),  // Sanskrit
+      "sme" -> latin("áčđŋšŧž"),          // Northern Sami
+      "bis" -> latin(""),                 // Bislama
+      "lat" -> latin("")                  // Latin
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

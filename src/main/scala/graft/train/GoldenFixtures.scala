@@ -228,6 +228,46 @@ object GoldenFixtures {
     ("mhr", "тӱня", "raw"),
     ("sat", "ᱚᱞ ᱪᱤᱠᱤ", "raw"),
     ("mni", "ꯃꯤꯇꯩ ꯂꯣꯟ", "raw"),
+    // seventh batch: one distinctive probe per new language, biased to the
+    // same-script races (yue vs cmn, arz vs arb, bho/mai/san vs hin,
+    // zsm/min vs ind, war/hil/ilo vs ceb/tgl, xho/ssw vs zul, bos vs hrv,
+    // glg vs spa/por, scn vs ita, pcm/bis vs eng/tpi, run vs kin)
+    ("pcm", "abeg wetin dey wahala", "raw"),
+    ("yue", "佢哋而家喺屋企", "raw"),
+    ("arz", "انا عايز كده دلوقتي", "raw"),
+    ("bho", "हमनी भोजपुरी बानी बा", "raw"),
+    ("zsm", "awak boleh bahasa melayu sahaja", "raw"),
+    ("mai", "अहाँ मैथिली अछि नीक", "raw"),
+    ("run", "jewe ikirundi vyiza umusi", "raw"),
+    ("hil", "maayo adlaw sa hiligaynon subong", "raw"),
+    ("xho", "molo isixhosa enkosi kakuhle", "raw"),
+    ("ilo", "agyamanak iti ilokano dakkel", "raw"),
+    ("sot", "kea leboha sesotho hantle", "raw"),
+    ("min", "ambo tau bahaso minangkabau", "raw"),
+    ("scn", "picciriddu travagghiu sicilianu", "raw"),
+    ("nso", "ke leboga sepedi gabotse", "raw"),
+    ("war", "maupay nga adlaw ha waray", "raw"),
+    ("bos", "sedmica i čaršija bosanski", "raw"),
+    ("glg", "moito traballo galego hoxe", "raw"),
+    ("tso", "inkomu xitsonga avuxeni", "raw"),
+    ("ssw", "siyabonga siswati emanti bantfu", "raw"),
+    ("aym", "jiwasa aymara aru yatiña", "raw"),
+    ("ven", "ndaa tshivenda zwavhuḓi", "raw"),
+    ("oci", "occitan lenga trabalh plan", "raw"),
+    ("fry", "frysk wrâld wetter hjoed", "raw"),
+    ("ltz", "ech wëssen lëtzebuergesch haut", "raw"),
+    ("bua", "буряад хэлэн һайн", "raw"),
+    ("pap", "danki pa e papiamentu awor", "raw"),
+    ("tyv", "тыва дыл эки билир", "raw"),
+    ("bre", "brezhoneg eo yezh mat", "raw"),
+    ("kom", "коми кыв бур тӧдны", "raw"),
+    ("fao", "føroyskt mál vera gott", "raw"),
+    ("tah", "mauruuru te reo tahiti", "raw"),
+    ("kal", "qujanaq kalaallisut oqaatsit", "raw"),
+    ("san", "संस्कृतम् उत्तमम् अस्ति", "raw"),
+    ("sme", "sámegiella lea buorre giitu", "raw"),
+    ("bis", "tangkyu long bislama gudfala", "raw"),
+    ("lat", "lingua latina magna est", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -533,5 +573,121 @@ object GoldenFixtures {
       ӟуч"""),
     "mhr" -> v("""мый тый тудо ме те нуно огыл да верч дене ик кок кум ий кече йӱд пӧрт вӱд
       тӱня еҥ жап сай палаш йылме эл ола паша у кугу изи улам тиде марий"""),
+    // ---- seventh batch (round 3). Race languages LEAD with their
+    // distinguishing surface forms (the fixture generator is
+    // rank-weighted, so early words dominate the trained n-grams), with
+    // pan-family function words later.
+    "pcm" -> v("""naija wetin abeg wahala sabi pipo wata oga chop waka gist palava katakata
+      oyibo pikin una dem im dey don oya nko ehen moni plenti wok gud man woman tok se
+      di wan naw"""),
+    "yue" -> v("""嘅 係 唔 喺 佢 哋 咗 嘢 冇 乜 睇 食 飲 屋企 而家 點解 多謝 廣東話 香港 我 你
+      我哋 你哋 佢哋 水 世界 人 時間 年 日 夜 好 知 語言 城市 工作 新 大 細 呢 嗰 啲 咁 好似
+      鍾意 返工 放工 飲茶"""),
+    "arz" -> v("""مش دلوقتي ازيك كده عايز اتنين كويس ليه ايه احنا انتو هما مية شوية خالص اوي
+      النهارده بكره فين ازاي انا انت هو هي لا و في من سنة يوم ليلة بيت دنيا ناس وقت مصري
+      لغة بلد مدينة شغل جديد كبير صغير"""),
+    "bho" -> v("""बा बानी रउआ एगो खातिर बाड़े भोजपुरी हमनी ओकनी कइसे हई हम तू ऊ ना आ से दुगो
+      तीनगो साल दिन रात घर पानी दुनिया लोग समय बढ़िया जानल भाषा देश शहर काम नया बड़ छोट"""),
+    "zsm" -> v("""awak ialah baharu bandar sahaja selepas kerana telah boleh daripada kepada
+      melayu malaysia sekarang terima kasih saya dia kita mereka tidak dan untuk dengan satu
+      dua tiga tahun hari malam rumah air dunia orang masa baik tahu bahasa negara besar
+      kecil"""),
+    "mai" -> v("""अछि अहाँ एकटा छैक छल मैथिली कोना थिक अहाँक हमरा नहि सँ दूटा तीनटा हम ओ आ
+      लेल साल दिन राति घर पानि दुनिया लोक समय नीक जानब भाषा देश शहर काज नव पैघ छोट"""),
+    "run" -> v("""jewe umusi vyiza ikirundi uburundi twebwe mwebwe harya kazoza ntibizoba
+      umwanya ubuzima wewe we bo oya na hamwe kabiri gatatu umwaka ijoro inzu amazi isi
+      abantu igihe kumenya ururimi igihugu akazi gishasha kinini gitoya"""),
+    "hil" -> v("""hiligaynon daku gamay subong ngaa kabalo hambal pungsod amo sang ini
+      sina ako ikaw sia kita kamo sila indi kag para sa isa duha tatlo tuig adlaw gabi
+      balay tubig kalibutan tawo tion maayo obra salamat"""),
+    "xho" -> v("""molo enkosi isixhosa encinci umntwana iqanda ukuqonda ingca icawa abantwana
+      ixesha kakuhle mna wena yena thina nina bona hayi kunye unyaka usuku ubusuku indlu
+      amanzi umhlaba abantu ukwazi ulwimi ilizwe isixeko umsebenzi entsha enkulu"""),
+    "ilo" -> v("""ilokano agyamanak dakkel bassit tattao rabii danum ammo nasayaat pagsasao
+      pagilian ita apay ania kasta siak sika isuna datayo dakayo isuda saan ken para iti
+      maysa dua tallo tawen aldaw balay lubong tiempo siudad trabaho baro"""),
+    "sot" -> v("""sesotho dumela kea leboha hantle tseba puo naha toropo mosebetsi ncha
+      nyane bosiu letsatsi ngwaha nna wena yena rona lona bona ha le ka mme ntlo metsi
+      lefatshe batho nako ho e kgolo"""),
+    "min" -> v("""minangkabau ambo untuak bahaso nagari karajo gadang ketek tarimo kasih
+      kini manga apo aia elok inyo urang indak jo dari ciek duo tigo taun hari malam rumah
+      dunia wakatu tau kota baru ang kami"""),
+    "scn" -> v("""sicilianu picciriddu travagghiu fimmina munnu jornu grazzi accussì nenti
+      chistu chiddu iu tu iddu nuatri vuatri iddi nun e pi cu unu dui tri annu notti casa
+      acqua genti tempu bonu sapiri lingua paisi citati vita omu novu granni nicu sempri
+      mai oggi dumani"""),
+    "nso" -> v("""sepedi letšatši bošego mošomo mpsha dumela ke leboga gabotse tseba polelo
+      naga toropo nnyane gomme nna wena yena rena lena bona ga le ka ngwaga ntlo meetse
+      lefase batho nako go kgolo"""),
+    "war" -> v("""waray hiya hira ngan didto diri iton nga hini hito maupay salamat yana
+      kay ano sugad ako ikaw kita kamo para ha usa duha tulo tuig adlaw gabi balay tubig
+      kalibutan tawo panahon kahibaro yinaknan nasud syudad trabaho bag"""),
+    "bos" -> v("""bosanski sedmica također mahala čaršija merhaba hefta zar ovdje gdje
+      četiri pet ja ti on ona mi vi oni ne i za s na od jedan dva tri godina dan noć kuća
+      voda svijet ljudi vrijeme dobro znati jezik zemlja grad posao nov velik malen biti"""),
+    "glg" -> v("""galego xente traballo moito tamén despois hoxe mañá grazas lingua cidade
+      auga unha non eu ti el ela nós eles o a os as un e é casa mundo tempo ano bo saber
+      facer pensar sobre cal alí seu outro ser estar ter pero para país vida día noite
+      home muller neno nai pai sempre nunca"""),
+    "tso" -> v("""xitsonga avuxeni inkomu ririmi misava vusiku nkarhi ntirho doroba
+      leswintshwa leswikulu leswitsongo mina wena yena hina vona a na hi kambe lembe siku
+      yindlu mati vanhu kahle ku tiva tiko"""),
+    "ssw" -> v("""siswati emanti bantfu kutsatfu umsebenti lilanga sikhatsi lulwimi
+      lidolobha kahle kwati live lomusha lomkhulu lomncane mine wena yena tsine nine bona
+      nga na ku kanye kunye kubili umnyaka busuku indlu umhlaba sawubona siyabonga"""),
+    "aym" -> v("""aymara jiwasa nayra aruma kimsa jumanaka jupanaka qullqi uta uma jaqi
+      suma yatiña aru marka naya juma jupa jani uka taki mä paya mara uru wasüru qhipüru
+      jichhüru utjaña sartaña"""),
+    "ven" -> v("""tshivenda ṅwaha ḓuvha vhusiku nnḓu maḓi shango vhathu tshifhinga zwavhuḓi
+      ḓivha luambo ḓorobo mushumo ndaa aa vhukuma mavhoneni inwi ene rine vhone nga gathihi
+      mbili tharu mulalo ndi hezwi hezwo"""),
+    "oci" -> v("""occitan lenga trabalh nuèch annada ostal aiga tanben totjorn jamai uèi
+      deman mercés plan ailà lo la los las un una non e es ieu tu el ela nosautres mond
+      gents temps bon saber far pensar sus quin lor autre aver mas per país ciutat vida
+      jorn òme femna"""),
+    "fry" -> v("""frysk wrâld hûs wetter minsken tiid jier witte meitsje tinke wurk libben
+      stêd heit mem bern frou skoalle famylje hjoed moarn tank altyd nea dêr har oare wêze
+      hawwe de it in fan en is ik net mei foar oer hokker mar wy jo nei ek as dei nacht
+      man"""),
+    "ltz" -> v("""lëtzebuergesch zäit wëssen iwwer ëmmer aarbecht liewen nuecht waasser
+      haus welt leit joer gutt maachen denken wéi do hir aner sinn hunn awer mir dir no
+      och wann haut muer merci schoul staat famill dag mann fra kand papp mamm stad de an
+      ass ech net mat fir"""),
+    "bua" -> v("""буряад хэлэн би ши тэрэ бидэ таанар тэдэ бэшэ ба тула нэгэ хоёр гурба жэл
+      үдэр һүни гэр уһан дэлхэй зон саг һайн мэдэхэ орон хото ажал шэнэ ехэ бага байха энэ
+      тэрэнэй"""),
+    "pap" -> v("""papiamentu danki chikitu hende awa kas anochi aña tempu bon sa idioma
+      pais stat trabou nobo grandi awor pakiko kiko asina mi bo e nos boso nan no i pa ku
+      un dos tres dia mundu"""),
+    "tyv" -> v("""тыва дыл чыл хүн дүн бажың суг делегей улус үе эки билир чурт хоорай ажыл
+      чаа улуг биче мен сен ол бис силер олар эвес болгаш дээш биле бир ийи үш бо ол
+      турар"""),
+    "bre" -> v("""brezhoneg yezh labour buhez trugarez hiziv bloaz deiz noz ti dour bed tud
+      amzer mat gouzout bro kêr den maouez bugel tad mamm nevez bras bihan atav morse deman
+      an ar ul ur ha hag eo me te hi ni int ket evit gant unan daou tri"""),
+    "kom" -> v("""коми кыв керка му йӧз кад бур тӧдны кар удж выль ыджыд ичӧт ме тэ ми
+      найӧ абу да понда ӧти кык куим во лун вой ва олӧм тайӧ сійӧ эм"""),
+    "fao" -> v("""føroyskt mál býur tíð árið fólk heimur vatn hús nátt dagur gott vita land
+      arbeiði nýtt stórt lítið takk eitt tvey trý tað eg tú hann hon vit tit teir ikki og
+      fyri við í frá vera hava"""),
+    "tah" -> v("""tahiti parau reo fare pape fenua mahana matahiti maitai oire ohipa
+      mauruuru aita teie tera vahine tamarii metua taata te ua e o i no ma ia ra atu mai
+      roa rahi iti api"""),
+    "kal" -> v("""kalaallisut oqaatsit qujanaq silarsuaq piffissaq ukioq ulloq unnuaq illu
+      imeq nuna illoqarfik suliaq inuuneq nutaaq angisooq mikisooq ajunngilaq aamma imaqa
+      qanoq uanga illit una taanna inuit atuarfik angut arnaq meeraq"""),
+    "san" -> v("""संस्कृतम् अस्ति भवति नमस्ते अहम् त्वम् सः वयम् यूयम् ते न च कृते एकम् द्वे
+      त्रीणि वर्षम् दिनम् रात्रिः गृहम् जलम् लोकः जनाः कालः उत्तमम् ज्ञातुम् भाषा देशः नगरम्
+      कर्म नवम् महत् लघु सन्ति धन्यवादः"""),
+    "sme" -> v("""sámegiella giella čáhci máilbmi olbmot áigi buorre diehtit riika gávpot
+      bargu ođđa stuoris unni mun don son mii dii sii ii ja lea leat dahje okta guokte
+      golbma jahki beaivi idja viessu giitu"""),
+    "bis" -> v("""bislama hemia blong olgeta wota haos taem dei naet gudfala woman aelan
+      vanuatu tangkyu plante smol bigfala wok yia wol hem mi yu yumi no long wan tu tri
+      save man graon"""),
+    "lat" -> v("""lingua latina domus aqua mundus homines tempus annus bonus scire facere
+      putare semper numquam hodie cras gratias terra urbs labor vita dies nox homo femina
+      puer pater mater magnus parvus et in non est sunt ad cum de ex sed ut quod qui
+      quae esse habere posse"""),
   )
 }

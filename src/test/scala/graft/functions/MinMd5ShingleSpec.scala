@@ -61,12 +61,27 @@ class MinMd5ShingleSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("whole-stage codegen COMPILES (no silent interpreted fallback)") {
+    // Regression: the static entry was named `eval`, which clashes with
+    // Expression.eval(InternalRow) — Scala suppresses the static forwarder
+    // on a name clash, janino failed to resolve the generated call, and
+    // Spark silently fell back to the interpreted path. fallback=false
+    // turns that silent fallback into a test failure.
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq("abcdefgh").toDF("t")
+        .select(MinMd5Shingle(col("t"), 5).as("m")).collect()
+      assert(out.head.getString(0).length == 32)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("malformed utf-8 degrades deterministically (no crash)") {
     // truncated 3-byte sequence at end of buffer
     val bad = org.apache.spark.unsafe.types.UTF8String.fromBytes(
       Array[Byte]('a', 'b', 'c', 'd', 0xe6.toByte, 0x97.toByte))
-    val once = MinMd5Shingle.eval(bad, 5)
-    val twice = MinMd5Shingle.eval(bad, 5)
+    val once = MinMd5Shingle.evalShingle(bad, 5)
+    val twice = MinMd5Shingle.evalShingle(bad, 5)
     assert(once != null && once == twice)
   }
 }
