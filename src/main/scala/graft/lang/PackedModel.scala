@@ -62,6 +62,30 @@ final class ProbTable private (
 ) extends Serializable {
   private val mask = keys.length - 1
 
+  /** Home-slot bitmap: bit `slot(key)` is set for every stored key. A
+    * clear bit PROVES absence (a stored key always sets its own home
+    * slot, wherever displacement lands it), so the dominant case on real
+    * text — n-grams absent from every model — resolves with one load in
+    * a structure 64× denser than the key array (cap bits vs cap longs).
+    * At fixture scale (~1.4 MB total tables) this is ~neutral — the
+    * tables are cache-resident either way; it is sized for REAL model
+    * scale (188-language OpenLID-class models, GBs of postings), where
+    * the key arrays cannot stay in cache and every miss otherwise costs
+    * a main-memory probe chain.
+    */
+  private val homeBits: Array[Long] = {
+    val b = new Array[Long]((keys.length >> 6) max 1)
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) != 0L) {
+        val s = slot(keys(i))
+        b(s >> 6) |= (1L << (s & 63))
+      }
+      i += 1
+    }
+    b
+  }
+
   @inline private def slot(key: Long): Int = {
     // Stafford mix13 finalizer spreads FNV output over table slots
     var h = key
@@ -72,7 +96,9 @@ final class ProbTable private (
 
   /** index of key's slot or -1 */
   @inline def find(key: Long): Int = {
-    var i = slot(key)
+    val s = slot(key)
+    if (((homeBits(s >> 6) >>> (s & 63)) & 1L) == 0L) return -1
+    var i = s
     var k = keys(i)
     while (k != 0L) {
       if (k == key) return i
