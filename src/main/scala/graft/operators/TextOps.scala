@@ -324,11 +324,14 @@ object TextOps {
     // broadcast path still applies with an APPROXIMATE order (top-K hot
     // grams by sampled df + hash order for the tail) — still exact output,
     // only the candidate count is heuristic.
-    def selectPrefix(src: String, id: Long, dg: Array[(Long, Long)]): Iterator[(String, Long, Long, Int)] = {
+    // pos = the gram's rank in ITS OWN document's sorted order — the
+    // ppjoin positional filter's per-record position
+    def selectPrefix(src: String, id: Long, dg: Array[(Long, Long)]): Iterator[(String, Long, Long, Int, Int)] = {
       val sz = dg.length
       val keep = sz - math.ceil(sz * threshold).toInt + 1
       java.util.Arrays.sort(dg, implicitly[Ordering[(Long, Long)]])
-      dg.iterator.take(keep).map { case (_, gram) => (src, id, gram, sz) }
+      dg.iterator.take(keep).zipWithIndex
+        .map { case ((_, gram), pos) => (src, id, gram, sz, pos) }
     }
     val dfBroadcastMax = 4 << 20 // ~64 MB of (gram, df) pairs
     // ONE job probes size and fetches: limit(max+1) truncating ⇔ too big
@@ -353,10 +356,16 @@ object TextOps {
           .as[(String, Long, Array[(Long, Long)])]
           .flatMap { case (src, id, dg) => selectPrefix(src, id, dg) }
       }
-    ).toDF("source", "doc_id", "gram", "sz")
+    ).toDF("source", "doc_id", "gram", "sz", "pos")
 
-    // length filter (also exact): J(A,B) ≥ t forces t·|B| ≤ |A| (and vice
-    // versa), so size-incompatible pairs are pruned before the distinct.
+    // Length filter (exact): J(A,B) ≥ t forces t·|B| ≤ |A| (and vice
+    // versa). Positional filter (ppjoin, also exact): a true pair needs
+    // overlap c ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉, and at the pair's FIRST shared
+    // gram (positions pa, pb in the shared order) every shared gram lies
+    // at ≥ pa in A and ≥ pb in B, so c ≤ min(|A|−pa, |B|−pb): the
+    // first-match row always survives the bound, later-match duplicate
+    // rows may be pruned BEFORE the distinct shuffle — output unchanged,
+    // pair-row traffic cut. Both prune inside the join condition.
     // The merge hint matters: with ~10³ distinct grams the join keys are
     // extremely hot, and sort-merge enumerates each key group from two
     // sorted runs (sequential, cache-friendly) where a hash join walks a
@@ -365,7 +374,9 @@ object TextOps {
     val candidates = prefixes.as("l").hint("merge")
       .join(prefixes.as("r"), expr(
         s"""l.source = r.source AND l.gram = r.gram AND l.doc_id < r.doc_id
-           |AND l.sz >= ceil(r.sz * $threshold) AND r.sz >= ceil(l.sz * $threshold)""".stripMargin))
+           |AND l.sz >= ceil(r.sz * $threshold) AND r.sz >= ceil(l.sz * $threshold)
+           |AND least(l.sz - l.pos, r.sz - r.pos) >=
+           |    ceil((l.sz + r.sz) * $threshold / (1 + $threshold))""".stripMargin))
       .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
       .distinct()
 
