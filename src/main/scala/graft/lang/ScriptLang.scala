@@ -240,7 +240,35 @@ object ScriptLang {
       "san" -> scriptOnly("DEVANAGARI"),  // Sanskrit
       "sme" -> latin("áčđŋšŧž"),          // Northern Sami
       "bis" -> latin(""),                 // Bislama
-      "lat" -> latin("")                  // Latin
+      "lat" -> latin(""),                 // Latin
+      // ---- eighth batch (round 3): Arabic dialect cluster (apc/ary race
+      // arb/arz), African + SEA Latin, Devanagari Konkani, Uralic/Mongolic
+      // Cyrillic, Romance/Slavic minorities, plus script-unique
+      // registrations (prefilter-only, like cja/cjm) that exercise the
+      // fourth mask word and supplementary-plane scripts (ADLAM, OSAGE).
+      "apc" -> (Set("ARABIC"), cps("ابتثجحخدذرزسشصضطظعغفقكلمنهويءآأؤإئةى")), // Levantine Arabic
+      "ary" -> (Set("ARABIC"), cps("ابتثجحخدذرزسشصضطظعغفقكلمنهويءآأؤإئةى")), // Moroccan Arabic
+      "ful" -> latin("ɓɗŋñƴ"),            // Fulfulde (Latin)
+      "kab" -> latin("ɣčḍṭɛǧṛẓ"),         // Kabyle
+      "bem" -> latin(""),                 // Bemba
+      "luo" -> latin(""),                 // Dholuo
+      "mww" -> latin(""),                 // Hmong Daw (RPA)
+      "nds" -> latin("äöüß"),             // Low German
+      "bcl" -> latin(""),                 // Central Bikol
+      "gom" -> scriptOnly("DEVANAGARI"),  // Konkani (races hin/mar/nep/bho/mai/san)
+      "ii" -> scriptOnly("YI"),           // Sichuan Yi (prefilter-only)
+      "lis" -> scriptOnly("LISU"),        // Lisu (prefilter-only)
+      "srd" -> latin("àèìòùáéíóú"),       // Sardinian
+      "crh" -> latin("çğıñöşüâ"),         // Crimean Tatar (Latin)
+      "blt" -> scriptOnly("TAI_VIET"),    // Tai Dam (prefilter-only)
+      "ast" -> latin("ñüéáíóú"),          // Asturian
+      "myv" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"), // Erzya
+      "xal" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәһҗңөү"), // Kalmyk
+      "roh" -> latin("èé"),               // Romansh
+      "hsb" -> latin("ěźćčłńóřšžý"),      // Upper Sorbian
+      "osa" -> scriptOnly("OSAGE"),       // Osage (prefilter-only)
+      "bax" -> scriptOnly("BAMUM"),       // Bamum (prefilter-only)
+      "ful_Adlm" -> scriptOnly("ADLAM")   // Fulfulde (Adlam; prefilter-only)
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

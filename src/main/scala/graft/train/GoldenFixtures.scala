@@ -268,6 +268,34 @@ object GoldenFixtures {
     ("sme", "sámegiella lea buorre giitu", "raw"),
     ("bis", "tangkyu long bislama gudfala", "raw"),
     ("lat", "lingua latina magna est", "raw"),
+    // eighth batch: Arabic dialect races, African/SEA Latin, Konkani,
+    // Uralic/Mongolic Cyrillic, Romance/Slavic minorities, plus
+    // script-unique prefilter-only languages (YI, LISU, TAI_VIET, OSAGE,
+    // BAMUM, ADLAM — the last two exercise supplementary-plane code
+    // points through the mask fallback)
+    ("apc", "هيك منيح كتير هلق", "raw"),
+    ("ary", "واش كاين بزاف ديال", "raw"),
+    ("ful", "pulaar ɗemngal moƴƴa", "raw"),
+    ("kab", "azul taqbaylit aman axxam", "raw"),
+    ("bem", "icibemba bwino amenshi", "raw"),
+    ("luo", "dholuo erokamano ber piny", "raw"),
+    ("mww", "kuv paub lus hmoob zoo", "raw"),
+    ("nds", "plattdüütsch lüüd lütt huus", "raw"),
+    ("bcl", "maray aldaw sa bikol harong", "raw"),
+    ("gom", "हांव कोंकणी आसा उदक", "raw"),
+    ("srd", "sardu limba traballu abba", "raw"),
+    ("crh", "qırımtatar tili yahşı", "raw"),
+    ("ast", "asturianu güei trabayu llingua", "raw"),
+    ("myv", "эрзянь кель вадря сюкпря", "raw"),
+    ("xal", "хальмг келн сән ханҗанав", "raw"),
+    ("roh", "rumantsch lingua bun grazia", "raw"),
+    ("hsb", "hornjoserbsce rěč dźak", "raw"),
+    ("ii", "ꆈꌠꉙ", "raw"),
+    ("lis", "ꓡꓲꓢꓴ", "raw"),
+    ("blt", "ꪼꪕ", "raw"),
+    ("osa", "𐓏𐓘𐓻𐓘𐓻𐓟", "raw"),
+    ("bax", "ꚠꚡꚢ", "raw"),
+    ("ful_Adlm", "𞤆𞤵𞤤𞤢𞤪", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -689,5 +717,55 @@ object GoldenFixtures {
       putare semper numquam hodie cras gratias terra urbs labor vita dies nox homo femina
       puer pater mater magnus parvus et in non est sunt ad cum de ex sed ut quod qui
       quae esse habere posse"""),
+    // ---- eighth batch (round 3): leading words are the race markers
+    "apc" -> v("""هيك هلق شو كتير منيح بدي ليش هون مبارح بكرا هاد هاي زغير هنن مي عم رح
+      شوي هيدا لهجة انا انت هو هي احنا لا و في من سنة يوم ليلة بيت دنيا ناس وقت لغة بلد
+      مدينة شغل جديد كبير"""),
+    "ary" -> v("""ديال واش بزاف دابا غادي كاين مزيان شنو فين راه دروك حيت بغيت هاد دار
+      الما خدمة بلاد مغربي هادشي انا انت هو هي حنا هما لا و في من سنة يوم ليلة دنيا ناس
+      وقت لغة مدينة جديد كبير صغير"""),
+    "ful" -> v("""pulaar fulfulde ndiyam yimɓe ɗemngal hitaande ñalnde jemma suudu aduna
+      wakkati anndude leydi wuro golle moƴƴa keso mawɗo famɗo mi a o en on ɓe miɗo haa
+      jooni ko ngam e kala"""),
+    "kab" -> v("""azul taqbaylit aman axxam tamurt awal aseggas ass argaz aqcic asif adrar
+      iṭij ayyur akal amdan ilel taddart tameslayt leqbayel nekk kecc netta nekkni kunwi
+      nutni ur ara akked deg seg yiwen sin tlata"""),
+    "bem" -> v("""icibemba amenshi abantu umwaka ubushiku umulimo icalo musumba akasuba
+      inshiku inshita umushi bwino ukwishiba ululimi ine iwe ena ifwe imwe bena tapali
+      na pamo cimo fibili fitatu akale nomba mailo"""),
+    "luo" -> v("""dholuo piny pi ji ot higa odiechieng otieno kinde ber ngeyo tich dala
+      manyien maduong matin erokamano an in en wan un gin ok kendo gi kuom achiel ariyo
+      adek kawuono kiny"""),
+    "mww" -> v("""hmoob kuv koj nws peb nej lawv tsis thiab rau ib ob xyoo hnub hmo tsev
+      dej neeg sijhawm zoo paub lus tebchaws nroog haujlwm tshiab loj me ua noj mov nyob
+      li cas siab ntiajteb hais tias yog muaj tau los mus"""),
+    "nds" -> v("""plattdüütsch lüüd huus lütt tied goot spraak arbeid leven johr dag nacht
+      water welt land stadt weten ik du he se wi ji nich un för mit vun een twee dree nee
+      groot wat dat mien dien ok as vundaag morgen dank"""),
+    "bcl" -> v("""bikol harong maray aram banwaan kinaban banggi dakula sadit ngunyan dai
+      saro duwa tulo tubig tawo panahon taon aldaw trabaho bago salamat ako ika siya kami
+      kamo sinda asin para sa kun ini iyan"""),
+    "gom" -> v("""कोंकणी आसा उदक संवसार म्हजें तुजें वर्स भास व्हड ल्हान हांव दीस रात घर
+      लोक वेळ बरें जाणा देश शार काम नवें आमी तुमी ते ना आनी एक दोन तीन तूं तो ती"""),
+    "srd" -> v("""sardu limba traballu domo abba mundu zente tempus annu die notte bonu
+      ischire bidda terra vida òmine fèmina pitzinnu babbu mama mannu minore semper oe
+      cras gràtzias issu àteru èssere àere subra unu duos tres"""),
+    "crh" -> v("""qırımtatar tili suv dünya insanlar vaqıt yahşı bilmek yıl kün gece ev
+      halq şeer iş yañı büyük kiçik bugün yarın sağol men sen o biz siz olar degil ve
+      içün bir eki üç ana til vatan"""),
+    "ast" -> v("""asturianu ye nun trabayu llingua güei xente muyer casa agua mundu tiempu
+      añu bonu saber facer pensar país ciudá vida día nueche home neñu grande pequeñu
+      siempre tamién dempués gracies yo tu él ella nós ellos pa con más mañana"""),
+    "myv" -> v("""эрзянь кель ведь мода ломанть шка вадря содамс ие чи ве кудо мастор ош
+      важодема од покш вишка паро мон тон сон минь тынь сынь аволь ды кис марто вейке
+      кавто колмо течи ванды сюкпря"""),
+    "xal" -> v("""хальмг келн усн орчлң улс цаг сән медх җил өдр сө гер балһсн көдлмш шин
+      ик бичкн би чи тер бидн та тедн биш болн төлә негн хойр һурвн эндр маңһдур ханҗанав"""),
+    "roh" -> v("""rumantsch lingua lavur onn di notg chasa aua mund glieud temp bun savair
+      far pensar sur lur auter esser avair terra citad vita um dunna uffant bab mamma
+      grond pitschen adina oz damaun grazia jau ti el ella nus els betg e per cun"""),
+    "hsb" -> v("""hornjoserbsce rěč dźěło woda swět čas dobry wědźeć lěto dźeń nóc dom
+      ludźo kraj město nowy wulki mały žiwjenje dźěćo muž žona ja ty wón my wy woni nic
+      a za z wot jedyn dwaj tři dźensa jutře dźak"""),
   )
 }
