@@ -268,7 +268,36 @@ object ScriptLang {
       "hsb" -> latin("ěźćčłńóřšžý"),      // Upper Sorbian
       "osa" -> scriptOnly("OSAGE"),       // Osage (prefilter-only)
       "bax" -> scriptOnly("BAMUM"),       // Bamum (prefilter-only)
-      "ful_Adlm" -> scriptOnly("ADLAM")   // Fulfulde (Adlam; prefilter-only)
+      "ful_Adlm" -> scriptOnly("ADLAM"),  // Fulfulde (Adlam; prefilter-only)
+      // ---- ninth batch (round 3): script VARIANTS of already-modeled
+      // languages (srp_Latn, uzn_Cyrl — the reference's lang×script
+      // modeling axis), historical/liturgical standards (lzh, pli),
+      // Iberian + Italian regional races, French/English-lexified
+      // creoles, constructed languages, and more script-unique
+      // prefilter-only registrations.
+      "orm" -> latin(""),                 // Oromo
+      "srp_Latn" -> latin("čćđšž"),       // Serbian (Latin; ekavian markers)
+      "uzn_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёўқғҳ"), // Uzbek (Cyrillic)
+      "nap" -> latin("àèìòùé"),           // Neapolitan
+      "pag" -> latin(""),                 // Pangasinan
+      "mfe" -> latin(""),                 // Mauritian Creole (races hat)
+      "tet" -> latin(""),                 // Tetum
+      "srn" -> latin(""),                 // Sranan Tongo (races pcm/bis/tpi)
+      "lzh" -> scriptOnly("HAN"),         // Classical Chinese (races cmn/yue)
+      "lad" -> latin(""),                 // Ladino (races spa)
+      "ina" -> latin(""),                 // Interlingua
+      "arg" -> latin("áéíóúñ"),           // Aragonese
+      "glv" -> latin("ç"),                // Manx
+      "ido" -> latin(""),                 // Ido (races epo)
+      "jbo" -> latin(""),                 // Lojban
+      "pli" -> scriptOnly("DEVANAGARI"),  // Pali
+      "mvf" -> scriptOnly("MONGOLIAN"),   // Mongolian script (prefilter-only)
+      "ccp" -> scriptOnly("CHAKMA"),      // Chakma (prefilter-only)
+      "ban_Bali" -> scriptOnly("BALINESE"), // Balinese script (prefilter-only)
+      "jav_Java" -> scriptOnly("JAVANESE"), // Javanese script (prefilter-only)
+      "khb" -> scriptOnly("NEW_TAI_LUE"), // New Tai Lue (prefilter-only)
+      "cop" -> scriptOnly("COPTIC"),      // Coptic (prefilter-only)
+      "got" -> scriptOnly("GOTHIC")       // Gothic (prefilter-only)
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

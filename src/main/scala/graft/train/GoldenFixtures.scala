@@ -296,6 +296,30 @@ object GoldenFixtures {
     ("osa", "𐓏𐓘𐓻𐓘𐓻𐓟", "raw"),
     ("bax", "ꚠꚡꚢ", "raw"),
     ("ful_Adlm", "𞤆𞤵𞤤𞤢𞤪", "raw"),
+    // ninth batch
+    ("orm", "afaan oromoo gaarii galatoomaa", "raw"),
+    ("srp_Latn", "srpski svet vreme lepo", "raw"),
+    ("uzn_Cyrl", "ўзбек тили яхши раҳмат", "raw"),
+    ("nap", "napulitano guaglione bbuono", "raw"),
+    ("pag", "salamat ed pangasinan maong", "raw"),
+    ("mfe", "morisien dilo dimounn mersi", "raw"),
+    ("tet", "obrigadu tetun diak loron", "raw"),
+    ("srn", "sranan watra wroko tangi", "raw"),
+    ("lzh", "天下之水也", "raw"),
+    ("lad", "djudeo espanyol grasias oy", "raw"),
+    ("ina", "interlingua bon lingua gratias", "raw"),
+    ("arg", "aragones luenga treballo grazias", "raw"),
+    ("glv", "gaelg çhengey mie", "raw"),
+    ("ido", "ido linguo bona danko", "raw"),
+    ("jbo", "lojban bangu xamgu", "raw"),
+    ("pli", "धम्मो भिक्खु निब्बानं", "raw"),
+    ("mvf", "ᠮᠣᠩᠭᠣᠯ", "raw"),
+    ("ccp", "𑄌𑄋𑄴𑄟𑄳𑄦", "raw"),
+    ("ban_Bali", "ᬩᬲᬩᬮᬶ", "raw"),
+    ("jav_Java", "ꦧꦱꦗꦮ", "raw"),
+    ("khb", "ᦟᦲᧅᦷᦎᦺᦑᦟᦹᧉ", "raw"),
+    ("cop", "ⲙⲉⲧⲣⲉⲙⲛⲭⲏⲙⲓ", "raw"),
+    ("got", "𐌲𐌿𐍄𐌹𐍃𐌺", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -767,5 +791,51 @@ object GoldenFixtures {
     "hsb" -> v("""hornjoserbsce rěč dźěło woda swět čas dobry wědźeć lěto dźeń nóc dom
       ludźo kraj město nowy wulki mały žiwjenje dźěćo muž žona ja ty wón my wy woni nic
       a za z wot jedyn dwaj tři dźensa jutře dźak"""),
+    // ---- ninth batch (round 3)
+    "orm" -> v("""oromoo afaan bishaan namoota yeroo gaarii beekuu waggaa guyyaa halkan
+      mana biyya magaalaa hojii haaraa guddaa xiqqaa ani ati inni nuti isin isaan miti fi
+      keessa irraa tokko lama sadii galatoomaa arra bor"""),
+    "srp_Latn" -> v("""srpski svet vreme lepo dete ovde gde mleko pesma reka čovek žena
+      ja ti on ona mi vi oni ne i za sa na od jedan dva tri godina dan noć kuća voda
+      ljudi dobro znati jezik zemlja grad posao nov veliki mali biti"""),
+    "uzn_Cyrl" -> v("""ўзбек тили сув дунё одамлар вақт яхши билмоқ йил кун тун уй халқ
+      шаҳар иш янги катта кичик мен сен у биз сиз улар эмас ва учун билан бир икки уч
+      бугун эртага раҳмат"""),
+    "nap" -> v("""napulitano guaglione jurnata fatica paise munno bbuono femmena criatura
+      piccerillo tiempo anno casa acqua gente vita notte ommo pate mamma granne nuovo
+      sempe maje ogge dimane grazie io tu isso nuje vuje lloro nun e pe cu"""),
+    "pag" -> v("""pangasinan danum too panaon abung baley kimey balo baleg melag maong
+      amta taon agew labi siak sika sikato sikami sikayo sikara ag tan para ed sakey
+      duara talora natan salamat"""),
+    "mfe" -> v("""morisien dilo dimounn letan lane kone lavi zour lanwit lakaz lemonn
+      travay gran piti bon mo to li nu zot pa ek pu enn de trwa zordi dime mersi"""),
+    "tet" -> v("""tetun bee ema tempu tinan loron kalan uma rai serbisu foun boot kiik
+      diak hatene lian nasaun sidade moris hau nia ami imi sira la ho ba ida rua tolu
+      ohin aban obrigadu"""),
+    "srn" -> v("""sranan watra oso wroko kondre foto libi yari dei neti ten bun sabi
+      nyun bigi pikin mi yu a wi unu den no nanga fu wan tu dri tide tamara tangi"""),
+    "lzh" -> v("""之 乎 者 也 矣 焉 哉 吾 汝 其 彼 天下 水 人 時 年 日 夜 家 不 而 於 以 為
+      有 無 大 小 新 知 言 國 事 君 子 王 民 山 川 古 今 文 道 德 天 地"""),
+    "lad" -> v("""djudeo espanyol agua mundo djente tiempo anyo bueno saver azer pensar
+      lingua sivdad lavoro vida diya noche ombre mujer kriatura padre madre grande chiko
+      siempre nunka oy amanyana grasias yo tu el eya mozotros eyos no i kon para"""),
+    "ina" -> v("""interlingua aqua mundo homine tempore anno bon saper facer pensar
+      lingua pais citate labor vita die nocte femina infante patre matre grande parve
+      sempre nunquam hodie deman gratias io tu ille illa nos vos illes non e con pro"""),
+    "arg" -> v("""aragones augua mundo chent tiempo anyo buen saper fer pensar luenga
+      ciudat treballo vida diya nueit ombre muller nino pai mai gran chicot siempre
+      nunca hue manyana grazias yo tu el ella nusatros ellos no y con ta"""),
+    "glv" -> v("""gaelg çhengey ushtey thie seihll sleih traa mie fys blein laa oie
+      dooinney ben lhiannoo ayr moir mooar beg noa rieau jiu mairagh gura ayd mish uss
+      eshyn shin shiu ad cha as lesh un daa tree"""),
+    "ido" -> v("""ido linguo aquo mondo homo tempo yaro bona savar facar pensar lando
+      urbo laboro vivo dio nokto muliero infanto patro matro granda mikra sempre
+      nultempe hodie morge danko me tu il el ni vi li ne e kun por"""),
+    "jbo" -> v("""lojban bangu djacu munje prenu temci xamgu djuno gugde tcadu gunka
+      cnino barda cmalu nanmu ninmu verba patfu mamta mi do ti ta na pu ba ca klama
+      viska cusku zvati cmene"""),
+    "pli" -> v("""धम्मो सङ्घो भिक्खु निब्बानं सुत्तं लोको उदकं पुरिसो कालो वस्सं दिवसो
+      रत्ति घरं जनो भासा नगरं कम्मं नवं महन्तं खुद्दकं अत्थि होति नमो बुद्धो अरियो मग्गो
+      फलं चित्तं पञ्ञा सीलं समाधि"""),
   )
 }
