@@ -297,7 +297,32 @@ object ScriptLang {
       "jav_Java" -> scriptOnly("JAVANESE"), // Javanese script (prefilter-only)
       "khb" -> scriptOnly("NEW_TAI_LUE"), // New Tai Lue (prefilter-only)
       "cop" -> scriptOnly("COPTIC"),      // Coptic (prefilter-only)
-      "got" -> scriptOnly("GOTHIC")       // Gothic (prefilter-only)
+      "got" -> scriptOnly("GOTHIC"),      // Gothic (prefilter-only)
+      // ---- tenth batch (round 3): reaches the reference's 188-modeled
+      // mark. Cyrillic minority races (rue's ы+і+є letter mix, chu's
+      // archaic yus/yat letters, mrj vs mhr ӹ-shift, mdf vs myv lexical
+      // splits, alt/kjh Siberian Turkic), Turkic Latin (kaa, gag),
+      // Fiji Hindi (Latin-script Hindi), pam (Philippine race), fur,
+      // dsb (vs hsb: systematic ź-for-dź / c-for-č shifts), plus six
+      // more script-unique prefilter-only registrations.
+      "hif" -> latin(""),                 // Fiji Hindi
+      "rue" -> cyr("абвгґдежзиіїйклмнопрстуфхцчшщъыьюяєё"), // Rusyn
+      "gag" -> latin("äçêöşüı"),          // Gagauz
+      "kaa" -> latin("áǵıńóú"),           // Karakalpak (Latin)
+      "pam" -> latin(""),                 // Kapampangan
+      "fur" -> latin("âêîôûàèìòùç"),      // Friulian
+      "alt" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёјҥӧӱ"), // Southern Altai
+      "kjh" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёғіңӧӱҷ"), // Khakas
+      "mdf" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"), // Moksha (races myv)
+      "mrj" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӹӓӱӧҥ"), // Hill Mari (races mhr)
+      "dsb" -> latin("ěźćčłńóřšžŕś"),     // Lower Sorbian (races hsb)
+      "chu" -> cyr("абвгдежзиклмнопрстуфхцчшщъыьюяѣѥѧѩѫѭѯѱѳѵѡꙋ"), // Church Slavonic
+      "syl" -> scriptOnly("SYLOTI_NAGRI"), // Sylheti (prefilter-only)
+      "saz" -> scriptOnly("SAURASHTRA"),  // Saurashtra (prefilter-only)
+      "lif" -> scriptOnly("LIMBU"),       // Limbu (prefilter-only)
+      "lep" -> scriptOnly("LEPCHA"),      // Lepcha (prefilter-only)
+      "bbc" -> scriptOnly("BATAK"),       // Toba Batak (prefilter-only)
+      "sun_Sund" -> scriptOnly("SUNDANESE") // Sundanese script (prefilter-only)
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

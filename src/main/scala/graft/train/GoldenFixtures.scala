@@ -320,6 +320,25 @@ object GoldenFixtures {
     ("khb", "ᦟᦲᧅᦷᦎᦺᦑᦟᦹᧉ", "raw"),
     ("cop", "ⲙⲉⲧⲣⲉⲙⲛⲭⲏⲙⲓ", "raw"),
     ("got", "𐌲𐌿𐍄𐌹𐍃𐌺", "raw"),
+    // tenth batch
+    ("hif", "fiji baat acchaa dhanyabaad", "raw"),
+    ("rue", "русиньскый язык добрі дякую", "raw"),
+    ("gag", "gagauz dili bilmää dünnä", "raw"),
+    ("kaa", "qaraqalpaq tili jaqsı raxmet", "raw"),
+    ("pam", "kapampangan bayu maragul mayap", "raw"),
+    ("fur", "furlan lenghe graciis vuê", "raw"),
+    ("alt", "алтай тил јакшы быйан", "raw"),
+    ("kjh", "хакас тіл чахсы суғ", "raw"),
+    ("mdf", "мокшень кяль пара содамс", "raw"),
+    ("mrj", "кырык мары йӹлмӹ яжо", "raw"),
+    ("dsb", "dolnoserbski rěc źěk", "raw"),
+    ("chu", "словѣньскъ ѩзыкъ добро", "raw"),
+    ("syl", "ꠍꠤꠟꠐꠤ", "raw"),
+    ("saz", "ꢂꢃꢄ", "raw"),
+    ("lif", "ᤁᤂᤃ", "raw"),
+    ("lep", "ᰀᰁᰂ", "raw"),
+    ("bbc", "ᯀᯁᯂ", "raw"),
+    ("sun_Sund", "ᮃᮄᮅ", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -837,5 +856,41 @@ object GoldenFixtures {
     "pli" -> v("""धम्मो सङ्घो भिक्खु निब्बानं सुत्तं लोको उदकं पुरिसो कालो वस्सं दिवसो
       रत्ति घरं जनो भासा नगरं कम्मं नवं महन्तं खुद्दकं अत्थि होति नमो बुद्धो अरियो मग्गो
       फलं चित्तं पञ्ञा सीलं समाधि"""),
+    // ---- tenth batch (round 3)
+    "hif" -> v("""fiji baat pani duniya admi samay acchaa jaanat saal din raat ghar kaam
+      naya bada chhota hum tum uu hamlog tumlog ulog nai aur ke saath ek dui tiin aaj
+      kal dhanyabaad"""),
+    "rue" -> v("""русиньскый язык добрі дякую хыжа нянько мамка єден вода світ люде час
+      знати рік день ніч земля місто робота новый великый малый я ты він она мы вы они
+      ні і за з од два три"""),
+    "gag" -> v("""gagauz dili dünnä insannar bilmää gecä eni büük bän sän su vakıt ii
+      yıl gün ev halk kasaba iş küçük o biz siz onnar diil hem için bir iki üç bugün
+      yarın"""),
+    "kaa" -> v("""qaraqalpaq tili suw jaqsı raxmet búgin erteń úlken jumıs dunya adamlar
+      waqıt jıl kún tún úy xalıq qala taza kishi men sen ol biz siz olar emes ushın bir
+      eki úsh"""),
+    "pam" -> v("""kapampangan bale balen bayu maragul malati mayap balu banua aldo bengi
+      obra danum tau panaun aku ika iya ikami ikayu ila ali ampo para king metung adwa
+      atlu ngeni salamat"""),
+    "fur" -> v("""furlan aghe mont int timp lenghe paîs citât vite gnot vuê lavôr graciis
+      an bon om femine frut grant simpri mai doman jo tu lui jê nô lôr no e cun par une
+      dôs trê"""),
+    "alt" -> v("""алтай тил јакшы быйан јер кижи јыл јаҥы јаан јон суу ӧй билер кӱн тӱн
+      айыл эл калык кала иш кичинек мен сен ол бис слер олор эмес ла учун бир эки ӱч
+      эртен"""),
+    "kjh" -> v("""хакас тіл чахсы суғ кізі пілерге хараа тоғыс наа улуғ кічіг чир тус
+      чыл кӱн иб чон мин син ол піс сірер олар нимес паза пір ікі ӱс пӱӱн таңда
+      анымҷох"""),
+    "mdf" -> v("""мокшень кяль пара содамс пинге ши киза куд оцю ёмла тев аф шобдава
+      илять ломатть ведь мастор ош од мон тон сон минь тинь синь ди вете кафта колма
+      тячи ванды"""),
+    "mrj" -> v("""кырык мары йӹлмӹ яжо вӹд мӹнь тӹнь тӹдӹ мӓ тӓ нӹнӹ агыл пӓлӓш пӓшӓ
+      сӓндӓлӹк дӓ ик кок кым и кечӹ йыд пӧрт халык жеп эл хала у кого изи тагачы"""),
+    "dsb" -> v("""dolnoserbski rěc źěło źěk wěźeś luźe źeń źinsa zajtša wjeliki cas
+      žywjenje wóda swět lěto noc dom kraj město nowy mały muž žona góle ja ty wón my
+      wy wóni nic a za z wót jaden dwa tśi"""),
+    "chu" -> v("""словѣньскъ ѩзыкъ свѣтъ человѣци дьнь нощь лѣто вѣкъ богъ зѣло иже
+      азъ къто чьто вода домъ земля слово благо добро яко ты онъ мы вы они не и съ
+      отъ въ на единъ дъва триѥ великъ малъ новъ"""),
   )
 }
