@@ -58,14 +58,19 @@ object SparkEntry {
     // the full quality-filter pipeline over a generated pages corpus
     "q28_pipeline_filter" -> ((s: SparkSession, _: String) =>
       graft.pipeline.FilterPipeline.runGenerated(s, 3000)),
-    // distributed trainer: corpus -> model rows (groupBy-count + self-joins)
-    "q29_spark_trainer" -> ((s: SparkSession, _: String) => {
-      import s.implicits._
-      val corpus = graft.train.FixtureCorpus
-        .corpus(nLinesPerLang = 100, langs = Seq("eng", "deu", "fra", "spa"))
-        .flatMap { case (lang, lines) => lines.map(l => (lang, l)) }
-        .toDF("lang", "line")
-      graft.train.Trainer.trainSpark(s, corpus)
+    // Distributed trainer: documents table -> EXACT-FRACTION model rows
+    // (groupBy-count + prefix/suffix self-joins). Fractions are the
+    // reference's own model-file semantic (ln applied at load), and they
+    // make the trainer DuckDB-oracle-able with integer equality. The
+    // table's 2-letter lang codes map to registry codes; 'zh' drops on
+    // both sides (its ASCII text has zero Han training words).
+    "q29_spark_trainer" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.expr
+      val corpus = Tables.documents(s, dir).select(
+        expr("""CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu'
+                WHEN 'fr' THEN 'fra' WHEN 'es' THEN 'spa' ELSE lang END""").as("lang"),
+        org.apache.spark.sql.functions.col("text").as("line"))
+      graft.train.Trainer.trainSparkFractions(s, corpus)
     })
   )
 
@@ -326,6 +331,45 @@ object SparkEntry {
         |       WHEN perplexity > 10000.0 THEN 'high_perplexity'
         |       END AS drop_reason
         | FROM f)
-        |SELECT *, (drop_reason IS NULL) AS keep FROM g""".stripMargin
+        |SELECT *, (drop_reason IS NULL) AS keep FROM g""".stripMargin,
+    // Trainer oracle: recompute the exact-fraction model from `documents`
+    // in SQL. Word split mirrors the tokenizer on ASCII (maximal [a-z]
+    // runs after lower()); unigrams/wordgrams over per-language totals;
+    // n >= 2 relative to min(prefix, suffix) counts via self-joins.
+    "q29_spark_trainer" ->
+      """WITH docs AS (
+        |  SELECT CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu'
+        |              WHEN 'fr' THEN 'fra' WHEN 'es' THEN 'spa' END AS lang, text
+        |  FROM documents WHERE lang IN ('en','de','fr','es')),
+        |words AS (
+        |  SELECT lang, u.w FROM docs,
+        |    unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS u(w)
+        |  WHERE u.w <> ''),
+        |grams AS (
+        |  -- DuckDB's range() cannot take lateral column bounds: use a
+        |  -- fixed position range and filter (corpus max word length is 8;
+        |  -- 64 leaves headroom and matches nothing beyond length(w))
+        |  SELECT lang, n::INTEGER AS size, substr(w, i::INTEGER, n::INTEGER) AS ngram
+        |  FROM words, range(1, 6) t(n), range(1, 65) s(i)
+        |  WHERE i + n - 1 <= length(w)),
+        |counts AS (SELECT lang, size, ngram, count(*)::BIGINT AS c
+        |           FROM grams GROUP BY 1, 2, 3),
+        |uni AS (
+        |  SELECT lang, size, ngram, c AS freq,
+        |    (sum(c) OVER (PARTITION BY lang))::BIGINT AS denom
+        |  FROM counts WHERE size = 1),
+        |wrd AS (
+        |  SELECT lang, 0::INTEGER AS size, w AS ngram, count(*)::BIGINT AS freq,
+        |    (sum(count(*)) OVER (PARTITION BY lang))::BIGINT AS denom
+        |  FROM words GROUP BY lang, w),
+        |hi AS (
+        |  SELECT c.lang, c.size, c.ngram, c.c AS freq, least(p.c, s.c) AS denom
+        |  FROM counts c
+        |  JOIN counts p ON p.lang = c.lang AND p.size = c.size - 1
+        |   AND p.ngram = substr(c.ngram, 1, c.size - 1)
+        |  JOIN counts s ON s.lang = c.lang AND s.size = c.size - 1
+        |   AND s.ngram = substr(c.ngram, 2, c.size - 1)
+        |  WHERE c.size >= 2)
+        |SELECT * FROM uni UNION ALL SELECT * FROM wrd UNION ALL SELECT * FROM hi""".stripMargin
   )
 }

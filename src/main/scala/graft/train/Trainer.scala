@@ -109,8 +109,15 @@ object Trainer {
     out
   }
 
-  /** Distributed trainer: corpus DataFrame (lang STRING, line STRING) →
-    * model DataFrame (lang STRING, size INT, ngram STRING, logprob DOUBLE).
+  /** Distributed trainer, EXACT-FRACTION form: corpus DataFrame
+    * (lang STRING, line STRING) → (lang STRING, size INT, ngram STRING,
+    * freq LONG, denom LONG) where the model probability is freq/denom.
+    * This is precisely the reference's serialization semantic (O23,
+    * train/src/fraction.rs:10-27): model FILES store exact fractions and
+    * `ln` is applied at load (train/src/file_model.rs:111-115) — and it
+    * makes the trainer value-checkable against an independent engine with
+    * INTEGER equality (the q29 DuckDB oracle), no transcendental-function
+    * ulp concerns.
     *
     * Scale design: the flatMap explodes (lang,size,ngram) occurrences but
     * `groupBy.count` map-side-combines before the shuffle, so the shuffle
@@ -120,7 +127,7 @@ object Trainer {
     * can re-plan. Replaces the reference's hand-rolled 8-thread,
     * memory-throttled scheduler (train/src/bin/train_files.rs:44-63).
     */
-  def trainSpark(spark: SparkSession, corpus: DataFrame): DataFrame = {
+  def trainSparkFractions(spark: SparkSession, corpus: DataFrame): DataFrame = {
     import spark.implicits._
 
     val langIds = ScriptLang.all.map(l => l.code -> l.id).toMap
@@ -162,7 +169,7 @@ object Trainer {
       .join(broadcast(totals), Seq("lang", "size"))
       .select(
         $"lang", $"size", $"ngram",
-        log($"count" / $"total").as("logprob")
+        $"count".as("freq"), $"total".as("denom")
       )
 
     // n >= 2: join with (n−1) counts on prefix and suffix; inner joins drop
@@ -185,9 +192,19 @@ object Trainer {
       .join(lower, $"lang" === $"l_lang" && $"size" === $"l_size" && $"suffix" === $"l_ngram")
       .select(
         $"lang", $"size", $"ngram",
-        log($"count" / least($"prefix_count", $"l_count")).as("logprob")
+        $"count".as("freq"), least($"prefix_count", $"l_count").as("denom")
       )
 
     uniAndWord.unionByName(withBoth)
+  }
+
+  /** Distributed trainer, model form: fractions with ln applied (the
+    * reference's load-time transform, train/src/file_model.rs:111-115).
+    * Output: (lang STRING, size INT, ngram STRING, logprob DOUBLE).
+    */
+  def trainSpark(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    import spark.implicits._
+    trainSparkFractions(spark, corpus)
+      .select($"lang", $"size", $"ngram", log($"freq" / $"denom").as("logprob"))
   }
 }
