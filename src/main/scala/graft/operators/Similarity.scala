@@ -306,9 +306,16 @@ object Similarity {
 
     val emb = Tables.embeddings(spark, sfDir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // √n capped at 2^22 centroids: the codebook is the ONLY driver/broadcast
+    // materialization, and the cap bounds it at ~2 GB (d = 64 doubles)
+    // regardless of n — past 2^44 rows the inverted lists grow longer
+    // instead (the standard IVF size/recall trade; raise nProbe to
+    // compensate)
+    val maxCodebook = 4 << 20
     val kCentroids =
       if (kCentroids0 > 0) kCentroids0
-      else math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      else math.min(maxCodebook.toLong,
+        math.max(16L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)).toInt
 
     // deterministic init: the kCentroids lowest vec_ids (one O(√n·d)
     // driver materialization — see scaladoc)
