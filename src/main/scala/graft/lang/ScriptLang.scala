@@ -322,7 +322,58 @@ object ScriptLang {
       "lif" -> scriptOnly("LIMBU"),       // Limbu (prefilter-only)
       "lep" -> scriptOnly("LEPCHA"),      // Lepcha (prefilter-only)
       "bbc" -> scriptOnly("BATAK"),       // Toba Batak (prefilter-only)
-      "sun_Sund" -> scriptOnly("SUNDANESE") // Sundanese script (prefilter-only)
+      "sun_Sund" -> scriptOnly("SUNDANESE"), // Sundanese script (prefilter-only)
+      // ---- eleventh batch (round 3): Germanic/Romance/Slavic minority
+      // languages with well-documented distinctive orthographies (sco vs
+      // eng, gsw vs deu/nds, szl/csb vs pol, wln vs fra, vec/pms vs
+      // ita/scn/nap, cos vs ita/scn/srd, rup vs ron, mwl vs por/glg),
+      // the constructed Volapük (races epo/ido/ina on popularity only —
+      // vocabulary is disjoint), and the Caucasus + Kipchak Cyrillic
+      // cluster (abk/kbd/ava/lez distinctive palochka/hook letters;
+      // kum/krc race each other and the Turkic Cyrillic block on
+      // vocabulary alone).
+      "sco" -> latin(""),                 // Scots
+      "kbd" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӏ"), // Kabardian
+      "ava" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӏ"), // Avar
+      "kum" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"),  // Kumyk
+      "krc" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"),  // Karachay-Balkar
+      "lez" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӏ"), // Lezgian
+      "abk" -> cyr("абвгӷдеӡжзиклмнопԥрстҭуфхҳцҵчҷҽҿшыҩџьәқҟ"), // Abkhaz
+      "gsw" -> latin("äöü"),              // Swiss German (Alemannic)
+      "vec" -> latin("łàèéìòóù"),         // Venetian
+      "szl" -> latin("ąćęłńóśźżŏōô"),     // Silesian
+      "cos" -> latin("àèìòù"),            // Corsican
+      "pms" -> latin("ëàèéìòóù"),         // Piedmontese
+      "wln" -> latin("åâêîôûéèç"),        // Walloon
+      "lim" -> latin("äöüéè"),            // Limburgish
+      "csb" -> latin("ąãëòóôùćłńśźżé"),   // Kashubian
+      "rup" -> latin("ãâ"),               // Aromanian
+      "mwl" -> latin("áéíóúâêôãõç"),      // Mirandese
+      "cor" -> latin(""),                 // Cornish
+      "vol" -> latin("äöü"),              // Volapük
+      // ---- twelfth batch (round 3): script-unique prefilter-only
+      // registrations (single-candidate scripts, detected through the
+      // O6 shortcut like cja/ii/osa). Five live in supplementary
+      // planes (HANIFI_ROHINGYA, SORA_SOMPENG, BASSA_VAH, WARANG_CITI,
+      // MASARAM_GONDI, MENDE_KIKAKUI, MIAO, NYIAKENG_PUACHUE_HMONG)
+      // and exercise the non-BMP mask fallback path.
+      "rhg" -> scriptOnly("HANIFI_ROHINGYA"), // Rohingya
+      "bug" -> scriptOnly("BUGINESE"),    // Buginese (Lontara)
+      "hmd" -> scriptOnly("MIAO"),        // A-Hmao (Pollard)
+      "hnj" -> scriptOnly("NYIAKENG_PUACHUE_HMONG"), // Hmong Njua
+      "kyu" -> scriptOnly("KAYAH_LI"),    // Western Kayah
+      "rej" -> scriptOnly("REJANG"),
+      "srb" -> scriptOnly("SORA_SOMPENG"), // Sora
+      "bsq" -> scriptOnly("BASSA_VAH"),   // Bassa
+      "hoc" -> scriptOnly("WARANG_CITI"), // Ho
+      "gon" -> scriptOnly("MASARAM_GONDI"), // Gondi
+      "men_Mend" -> scriptOnly("MENDE_KIKAKUI"), // Mende
+      "nod" -> scriptOnly("TAI_THAM"),    // Northern Thai (Lanna)
+      "tdd" -> scriptOnly("TAI_LE"),      // Tai Nüa
+      "bku" -> scriptOnly("BUHID"),
+      "hnn" -> scriptOnly("HANUNOO"),
+      "tbw" -> scriptOnly("TAGBANWA"),
+      "tgl_Tglg" -> scriptOnly("TAGALOG") // Tagalog (Baybayin)
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

@@ -339,6 +339,48 @@ object GoldenFixtures {
     ("lep", "ᰀᰁᰂ", "raw"),
     ("bbc", "ᯀᯁᯂ", "raw"),
     ("sun_Sund", "ᮃᮄᮅ", "raw"),
+    // eleventh batch: minority Germanic/Romance/Slavic + Volapük + the
+    // Caucasus/Kipchak Cyrillic cluster — every case is authored from
+    // that language's DISTINCTIVE orthography so the same-script race
+    // (noted per line) cannot also claim it
+    ("sco", "scots leid fowk ken guid", "raw"),          // races eng
+    ("kbd", "адыгэбзэ псы унэ фӏы", "raw"),              // races rus block
+    ("ava", "магӏарул мацӏ лъим рукъ", "raw"),           // races kbd/lez/che
+    ("kum", "къумукъ тил сув уьй яхшы", "raw"),          // races krc
+    ("krc", "къарачай тил суу юй джангы", "raw"),        // races kum
+    ("lez", "лезги чӏал яд кӏвал цӏийи", "raw"),         // races ava/kbd
+    ("abk", "аԥсшәа аӡы аҩны бзиа", "raw"),
+    ("gsw", "schwyzerdütsch grüezi huus wält", "raw"),   // races deu/nds
+    ("vec", "vèneto caxa aqua zente", "raw"),            // races ita/nap
+    ("szl", "ślōnskŏ gŏdka gryfny bajtel", "raw"),       // races pol
+    ("cos", "corsu ghjornu travagliu acqua", "raw"),     // races ita/scn
+    ("pms", "piemontèis lenga travaj neuit", "raw"),     // races ita/oci
+    ("wln", "walon dji aiwe måjhon", "raw"),             // races fra
+    ("lim", "limburgs sjoon luuj hoes", "raw"),          // races nld/nds
+    ("csb", "kaszëbsczi jô wòda mòwa", "raw"),           // races pol/szl
+    ("rup", "armãneashti limbã apã dzuã", "raw"),        // races ron
+    ("mwl", "mirandés lhéngua auga nuite", "raw"),       // races por/glg
+    ("cor", "kernewek yeth dowr meur ras", "raw"),       // races cym/glv
+    ("vol", "volapük binon gudik nolön", "raw"),
+    // twelfth batch: script-unique prefilter-only registrations; the
+    // five supplementary-plane scripts exercise the non-BMP mask path
+    ("rhg", "𐴀𐴁𐴂𐴃", "raw"),
+    ("bug", "ᨀᨁᨂ", "raw"),
+    ("hmd", "𖼀𖼁𖼂", "raw"),
+    ("hnj", "𞄀𞄁𞄂", "raw"),
+    ("kyu", "ꤊꤋꤌ", "raw"),
+    ("rej", "ꤰꤱꤲ", "raw"),
+    ("srb", "𑃐𑃑𑃒", "raw"),
+    ("bsq", "𖫐𖫑𖫒", "raw"),
+    ("hoc", "𑣀𑣁𑣂", "raw"),
+    ("gon", "𑴀𑴁𑴂", "raw"),
+    ("men_Mend", "𞠀𞠁𞠂", "raw"),
+    ("nod", "ᨠᨡᨢ", "raw"),
+    ("tdd", "ᥐᥑᥒ", "raw"),
+    ("bku", "ᝀᝁᝂ", "raw"),
+    ("hnn", "ᜠᜡᜢ", "raw"),
+    ("tbw", "ᝠᝡᝢ", "raw"),
+    ("tgl_Tglg", "ᜀᜁᜂ", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -892,5 +934,70 @@ object GoldenFixtures {
     "chu" -> v("""словѣньскъ ѩзыкъ свѣтъ человѣци дьнь нощь лѣто вѣкъ богъ зѣло иже
       азъ къто чьто вода домъ земля слово благо добро яко ты онъ мы вы они не и съ
       отъ въ на единъ дъва триѥ великъ малъ новъ"""),
+    // ---- eleventh batch (round 3): distinctively-spelled minority
+    // Germanic/Romance/Slavic languages, Volapük, and the Caucasus +
+    // Kipchak Cyrillic cluster. Every entry leans on forms that differ
+    // from its same-script race (sco hoose/watter vs eng house/water,
+    // gsw huus/wält vs deu haus/welt, szl dōm/gŏdka vs pol dom, csb
+    // wòda/mòwa vs pol woda/mowa, vec caxa/xe vs ita casa, cos
+    // ghjornu/acqua vs ita giorno, rup apã/limbã vs ron apă/limbă,
+    // mwl lhéngua/nuite vs por língua/noite).
+    "sco" -> v("""ye thay tae wi frae ane twa fower hoose watter warld fowk guid ken
+      leid kintra toun wark nicht bairn muckle wee aboot oot doon gang awa richt aye
+      dinna canna ower efter afore sic scots lallans braw"""),
+    "kbd" -> v("""сэ уэ ар дэ фэ ахэр икӏи зы тӏу щы илъэс махуэ жэщ унэ псы дуней
+      цӏыху цӏыхухэр зэман фӏы щӏэн бзэ хэку къалэ лэжьыгъэ щӏэ ин цӏыкӏу мыр мор
+      адыгэбзэ къэбэрдеибзэ псалъэ"""),
+    "ava" -> v("""дун мун дов ниж нуж дол гуро ва цо кӏиго лъабго сон къо сордо рукъ
+      лъим дунял гӏадамал заман лъикӏ лъай мацӏ улка шагьар хӏалтӏи цӏияб кӏудияб
+      гьитӏинаб буго гьаб гьеб магӏарул авар"""),
+    "kum" -> v("""мен сен ол биз сиз олар тюгюл ва учун булан бир эки уьч йыл гюн гече
+      уьй сув дюнья адамлар заман яхшы билмек тил уьлке шагьар иш янгы уллу гиччи
+      бар бу шу къумукъ къумукъча"""),
+    "krc" -> v("""мен сен ол биз сиз ала тюйюл бла ючюн бир эки юч джыл кюн кече юй
+      суу дуния адамла заман ашхы билирге тил къырал шахар иш джангы уллу гитче
+      бар бу ол къарачай малкъар таула"""),
+    "lez" -> v("""зун вун ам чун куьн абур туш ва патал галаз сад кьвед пуд йис югъ
+      йиф кӏвал яд дуьнья инсанар вахт хъсан чирвал чӏал уьлкве шегьер кӏвалах цӏийи
+      чӏехи гъвечӏи ава и а лезги лезгияр"""),
+    "abk" -> v("""сара уара иара ҳара шәара дара аӡы аҩны адунеи ауаа аамҭа бзиа
+      адырра абызшәа аԥсшәа атәыла ақалақь аус ҿыц ду хәыҷы ари уи аԥсуа аԥсны
+      ажәа амш ашықәс аҵх"""),
+    "gsw" -> v("""ich du är mir ihr si nöd und für mit eis zwöi drü jahr tag nacht
+      huus wasser wält lüt zyt guet wüsse sprooch land schtadt schaffe nöi gross chli
+      isch dä das grüezi merci schwyzerdütsch chind händ"""),
+    "vec" -> v("""mi ti eło noialtri voialtri łori no xe e par co un do tre ano zorno
+      note caxa aqua mondo zente tenpo bon saver łengua paexe sità łaoro novo grando
+      picenin questo queło vèneto venesia"""),
+    "szl" -> v("""jŏ ty ôn ôna ôni niy dlŏ jedyn dwa trzi sztyry rok dziyń noc dōm
+      woda świat ludzie czas dobry gŏdka kraj miasto robota nowy wielki mały bajtel
+      gryfny dziołcha chop rychtig fajnie ślōnski ślōnskŏ"""),
+    "cos" -> v("""eiu tù ellu noi voi elli ùn hè è per incù unu dui trè annu ghjornu
+      notte casa acqua mondu ghjente tempu bonu sapè lingua paese cità travagliu novu
+      grande chjucu questu quellu corsu corsica"""),
+    "pms" -> v("""mi it chiel noi voi lor nen e për con un doi tre ann dì neuit ca
+      eva mond gent temp bon savèj lenga pais sità travaj neuv grand cit sòn lòn
+      piemontèis turin ël dë"""),
+    "wln" -> v("""dji ti i nos vos il nén et po avou onk deus troes anêye djoû nute
+      måjhon aiwe monde djins tins bon saveur lingaedje payis veye ovraedje novea
+      grand pitit çoula walon walonreye"""),
+    "lim" -> v("""ich dich hae zie veer geer neet en veur mit ein twie drei jaor daag
+      nach hoes water luuj tied good weite taal land sjtad werk nuuj groet klein
+      is dit det sjoon limburgs mestreech"""),
+    "csb" -> v("""jô të òn më wa òni nié ë dlô jeden dwa trzë rok dzéń noc dóm wòda
+      swiat lëdze czas dobri kaszëbsczi mòwa kraj gard robòta nowi wiôldżi môłi je
+      to tamto kaszëbë chëcz"""),
+    "rup" -> v("""mini tini el noi voi elji nu shi ti cu unã dauã trei an dzuã noapti
+      casã apã lumi oaminji chiro bun shtiu limbã horã lucru nou mari njic easti aestu
+      atsel armãneashti armãnj zbor"""),
+    "mwl" -> v("""you tu el nós bós eilhes nun i para cun un dous trés anho die nuite
+      casa auga mundo giente tiempo buono saber lhéngua tierra cidade trabalho nuobo
+      grande pequeinho ye esto aquel mirandés miranda"""),
+    "cor" -> v("""my ty ev hi ni hwi i nyns yw ha rag gans onan dew tri bledhen dydh
+      nos chi dowr bys tus termyn da godhvos yeth pow tre ober nowydh bras byghan
+      yma hemma henna kernewek kernow meur ras"""),
+    "vol" -> v("""ob ol om of obs ols oms no e plo ko bal tel kil yel del neit dom
+      vat vol mens men tim gudik nolön pük län zif vob nulik gretik smalik binon
+      binob at et volapük flen löfob"""),
   )
 }
