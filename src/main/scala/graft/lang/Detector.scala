@@ -141,7 +141,9 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   private val sums = new Array[Double](nLangs)
   private val cnts = new Array[Int](nLangs)
   private val hitStamp = new Array[Int](nLangs) // char-phase hit snapshot
-  private val isCand = new Array[Boolean](nLangs)
+  // candidate set as a bitmask, ANDed against ProbTable's per-slot
+  // language masks (see probeNgram)
+  private val candMask = new Array[Long]((nLangs + 63) >> 6)
   private val seen = new LongSeenSet(256)
 
   /** Diagnostics from the LAST probabilities call (valid until the next
@@ -203,11 +205,19 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     // iterate char sizes up to nSizes (no slice allocation in the kernel)
     val nSizes = if (wordgramsEnabled) sizes.length - 1 else sizes.length
 
-    // reset accumulators for the candidate set
+    // Reset accumulators for ALL languages and build the candidate
+    // bitmask. The full fill (nLangs doubles + ints) replaced the
+    // per-candidate reset when probeNgram went branch-free: the
+    // accumulation loop now writes every posting language it streams
+    // past, so non-candidate slots must start clean too (their values
+    // are never READ — resetting merely keeps them bounded).
+    java.util.Arrays.fill(sums, 0.0)
+    java.util.Arrays.fill(cnts, 0)
+    java.util.Arrays.fill(candMask, 0L)
     var i = 0
     while (i < nCand) {
       val l = candBuf(i)
-      sums(l) = 0.0; cnts(l) = 0; isCand(l) = true
+      candMask(l >> 6) |= (1L << (l & 63))
       i += 1
     }
 
@@ -280,7 +290,6 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       resLangs(resN) = l
       resProbs(resN) = if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l)
       resN += 1
-      isCand(l) = false
       i += 1
     }
     // in-place insertion sort: prob desc (total order), lang ordinal asc
@@ -331,25 +340,37 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     * (prob, +1). Returns true iff at least one candidate hit — the caller
     * counts hit n-grams and settles the miss-floor contribution in closed
     * form per phase (see detectInPlace).
+    *
+    * The "does any candidate appear here" gate is ONE bitmask AND per
+    * mask word (ProbTable.anyLangIn) instead of a per-entry candidate
+    * check, and the accumulation loop is branch-free: it streams EVERY
+    * posting entry into sums/cnts. Non-candidate slots take writes that
+    * are never read (they are re-zeroed each call) — n-grams are
+    * script-bound, so postings are dominated by same-script languages
+    * that ARE candidates for typical text; trading those few wasted adds
+    * for the removal of a data-dependent branch per posting entry is
+    * what the JFR profile asked for (accumulation was ~35% of detect).
+    * Observable state (candidate sums/cnts, hit gate) is IDENTICAL to
+    * the per-entry-branch form: a candidate's cnt only ever counts
+    * posting lists it appears in, and lists with no candidate at all
+    * are skipped before accumulating, exactly like the reference's
+    * zero-candidate-hit skip.
     */
   @inline private def probeNgram(table: ProbTable, key: Long): Boolean = {
     val slot = table.find(key)
     if (slot < 0) return false
     val len = table.lens(slot)
     if (len == 0) return false
+    if (!table.anyLangIn(slot, candMask)) return false
     val st = table.starts(slot)
-    var hits = 0
     var j = 0
     while (j < len) {
       val lang = table.postLangs(st + j).toInt
-      if (isCand(lang)) {
-        sums(lang) += table.postProbs(st + j).toDouble
-        cnts(lang) += 1
-        hits += 1
-      }
+      sums(lang) += table.postProbs(st + j).toDouble
+      cnts(lang) += 1
       j += 1
     }
-    hits > 0
+    true
   }
 
   /** Softmax with the reference's special cases

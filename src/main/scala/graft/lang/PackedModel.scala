@@ -62,6 +62,66 @@ final class ProbTable private (
 ) extends Serializable {
   private val mask = keys.length - 1
 
+  /** Mask words needed to cover every language id present in postings
+    * (0 for an empty table). Kept table-local so a table stays
+    * self-describing: the detector ANDs only the overlap with its own
+    * candidate mask — a candidate id beyond this width cannot appear in
+    * this table's postings and is correctly ignored.
+    */
+  val maskWords: Int = {
+    var maxLang = -1
+    var i = 0
+    while (i < postLangs.length) {
+      if (postLangs(i) > maxLang) maxLang = postLangs(i).toInt
+      i += 1
+    }
+    (maxLang + 64) >> 6
+  }
+
+  /** Per-slot language bitmask: the OR of (1 << langId) over the slot's
+    * postings, `maskWords` longs per slot. One AND against the caller's
+    * candidate mask decides "does ANY candidate appear in this posting
+    * list" in O(maskWords) instead of a per-entry branch over the list —
+    * and lets the accumulation loop run branch-free (see
+    * Detector.probeNgram). Memory: cap × maskWords × 8 B ≈ 2.4× the key
+    * array at 346 registered languages — accepted; it scales linearly
+    * with the broadcast model it accompanies.
+    */
+  private val langMasks: Array[Long] = {
+    val lm = new Array[Long](keys.length * maskWords)
+    var i = 0
+    while (i < keys.length) {
+      val len = lens(i)
+      if (keys(i) != 0L && len > 0) {
+        val st = starts(i)
+        val base = i * maskWords
+        var j = 0
+        while (j < len) {
+          val l = postLangs(st + j).toInt
+          lm(base + (l >> 6)) |= (1L << (l & 63))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    lm
+  }
+
+  /** True iff any language in `cand` (a ≥`maskWords`-wide bitmask — extra
+    * words are ignored, see maskWords scaladoc) appears in slot's postings.
+    */
+  @inline def anyLangIn(slot: Int, cand: Array[Long]): Boolean = {
+    val mw = maskWords
+    val base = slot * mw
+    val lim = if (cand.length < mw) cand.length else mw
+    var w = 0
+    while (w < lim) {
+      if ((langMasks(base + w) & cand(w)) != 0L) return true
+      w += 1
+    }
+    false
+  }
+
   /** Home-slot bitmap: bit `slot(key)` is set for every stored key. A
     * clear bit PROVES absence (a stored key always sets its own home
     * slot, wherever displacement lands it), so the dominant case on real
