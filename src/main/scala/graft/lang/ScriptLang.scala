@@ -373,7 +373,43 @@ object ScriptLang {
       "bku" -> scriptOnly("BUHID"),
       "hnn" -> scriptOnly("HANUNOO"),
       "tbw" -> scriptOnly("TAGBANWA"),
-      "tgl_Tglg" -> scriptOnly("TAGALOG") // Tagalog (Baybayin)
+      "tgl_Tglg" -> scriptOnly("TAGALOG"), // Tagalog (Baybayin)
+      // ---- thirteenth batch (round 3): lang×script VARIANTS in SHARED
+      // scripts — the direct analog of the reference's "158 scripts with
+      // no models" bucket (README.md:6): publicly documented secondary
+      // scripts of already-modeled languages (kaz/kir/uzn Arabic in
+      // Xinjiang/Afghanistan, uig/tuk/kmr/aze/kaa/crh Cyrillic, tat/aze
+      // Latin counterparts, bos Cyrillic, snd/kas/sat Devanagari, mni
+      // Bengali script, chu Glagolitic), prefilter-only NEW languages in
+      // shared scripts (Kashmiri, the Wu/Min Nan/Hakka HAN races), and
+      // three liturgical script-unique registrations (Samaritan, Mandaic,
+      // Avestan). No models: they join candidate sets through the
+      // prefilter exactly like the reference's no-model ScriptLanguages
+      // and rank at −∞ next to modeled same-script languages.
+      "wuu" -> scriptOnly("HAN"),         // Wu Chinese
+      "nan" -> scriptOnly("HAN"),         // Min Nan
+      "hak" -> scriptOnly("HAN"),         // Hakka
+      "kas" -> scriptOnly("ARABIC"),      // Kashmiri (Perso-Arabic)
+      "kaz_Arab" -> scriptOnly("ARABIC"), // Kazakh (Arabic; Xinjiang)
+      "kir_Arab" -> scriptOnly("ARABIC"), // Kyrgyz (Arabic; Xinjiang)
+      "uzn_Arab" -> scriptOnly("ARABIC"), // Uzbek (Arabic; Afghanistan)
+      "aze_Arab" -> scriptOnly("ARABIC"), // Azerbaijani (Arabic; Iran)
+      "uig_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёғқңһөүҗ"), // Uyghur (Cyrillic)
+      "aze_Cyrl" -> cyr("абвгдежзијклмнопрстуфхчшығәҝөүһҹ"), // Azerbaijani (Cyrillic)
+      "tuk_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәҗңөүү"), // Turkmen (Cyrillic)
+      "kmr_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәөһҗ"), // Kurmanji (Cyrillic)
+      "kaa_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәғқңөүһў"), // Karakalpak (Cyrillic)
+      "crh_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"), // Crimean Tatar (Cyrillic)
+      "bos_Cyrl" -> cyr("абвгдђежзијклљмнњопрстћуфхцчџш"), // Bosnian (Cyrillic)
+      "tat_Latn" -> latin("äçğıñöşü"),    // Tatar (Latin, Zamanälif)
+      "snd_Deva" -> scriptOnly("DEVANAGARI"), // Sindhi (Devanagari; India)
+      "kas_Deva" -> scriptOnly("DEVANAGARI"), // Kashmiri (Devanagari)
+      "sat_Deva" -> scriptOnly("DEVANAGARI"), // Santali (Devanagari)
+      "mni_Beng" -> scriptOnly("BENGALI"), // Manipuri (Bengali script)
+      "chu_Glag" -> scriptOnly("GLAGOLITIC"), // Church Slavonic (Glagolitic)
+      "smp" -> scriptOnly("SAMARITAN"),   // Samaritan
+      "mid" -> scriptOnly("MANDAIC"),     // Mandaic
+      "ave" -> scriptOnly("AVESTAN")      // Avestan
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

@@ -381,6 +381,14 @@ object GoldenFixtures {
     ("hnn", "ᜠᜡᜢ", "raw"),
     ("tbw", "ᝠᝡᝢ", "raw"),
     ("tgl_Tglg", "ᜀᜁᜂ", "raw"),
+    // thirteenth batch: only its four script-UNIQUE registrations get
+    // golden cases (the shared-script variants have no model and rank
+    // at −∞ behind modeled same-script languages by design — their
+    // prefilter membership is asserted in ScriptLangSpec instead)
+    ("chu_Glag", "ⰰⰱⰲ", "raw"),
+    ("smp", "ࠀࠁࠂ", "raw"),
+    ("mid", "ࡀࡁࡂ", "raw"),
+    ("ave", "𐬀𐬁𐬂", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),

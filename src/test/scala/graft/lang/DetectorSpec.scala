@@ -126,4 +126,33 @@ class DetectorSpec extends AnyFunSuite {
     val d = new Detector(model, merged.withLanguages("eng", "deu"))
     assert(d.detectTopOneRaw("Alter").map(ScriptLang.code).contains("deu"))
   }
+
+  test("ProbTable per-slot language masks across word boundaries") {
+    // postings whose lang ids straddle 64-bit mask words (63, 64, 129)
+    // must each be reachable through anyLangIn; a candidate mask with
+    // only unrelated bits set must report false for every slot
+    val entries = Map(
+      NgramHash.ofString("xq") -> Array((63, -1.0), (64, -2.0)),
+      NgramHash.ofString("zw") -> Array((129, -3.0))
+    )
+    val t = ProbTable.build(entries)
+    assert(t.maskWords == 3) // covers id 129
+    def mk(ids: Int*): Array[Long] = {
+      val m = new Array[Long](ScriptLang.MaskWords)
+      ids.foreach(i => m(i >> 6) |= 1L << (i & 63))
+      m
+    }
+    val sXq = t.find(NgramHash.ofString("xq"))
+    val sZw = t.find(NgramHash.ofString("zw"))
+    assert(sXq >= 0 && sZw >= 0)
+    assert(t.anyLangIn(sXq, mk(63)))
+    assert(t.anyLangIn(sXq, mk(64)))
+    assert(t.anyLangIn(sZw, mk(129)))
+    assert(!t.anyLangIn(sXq, mk(0, 62, 65, 129)))
+    assert(!t.anyLangIn(sZw, mk(63, 64, 128, 130)))
+    // a narrower candidate mask than the table's width is legal: ids
+    // beyond its length simply cannot match
+    assert(t.anyLangIn(sXq, Array(0L, 1L))) // bit 64
+    assert(!t.anyLangIn(sZw, Array(-1L, -1L))) // id 129 beyond 2 words
+  }
 }

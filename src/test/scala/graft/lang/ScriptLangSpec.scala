@@ -61,4 +61,37 @@ class ScriptLangSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("shared-script no-model variants join candidates without displacing modeled langs") {
+    // batch-13 contract (the reference's "scripts with no models"
+    // bucket): a secondary-script registration is reachable through the
+    // prefilter for text of its script, and a modeled language still
+    // wins detection on its own golden text
+    val det = new Detector(FixtureCorpus.model, DetectorConfig.default)
+
+    def candidatesOf(text: String): Set[String] = {
+      val buf = new Tokenizer.TokenBuf
+      Tokenizer.tokenizeInto(text, buf)
+      val counts = new Array[Long](ScriptLang.count)
+      val cand = new Array[Int](ScriptLang.count)
+      val n = Tokenizer.prefilterInto(buf, counts, cand, 95, new Tokenizer.MaskScratch)
+      (0 until n).map(i => ScriptLang.code(cand(i))).toSet
+    }
+
+    val arabic = candidatesOf("والموضوع")
+    assert(Set("kas", "kaz_Arab", "uzn_Arab").subsetOf(arabic), arabic)
+    assert(det.detectTopOneRaw("والموضوع").map(ScriptLang.code).contains("arb"))
+
+    val han = candidatesOf("經濟")
+    assert(Set("wuu", "nan", "hak").subsetOf(han), han)
+    assert(det.detectTopOneRaw("經濟").map(ScriptLang.code).contains("cmn_Hant"))
+
+    val deva = candidatesOf("नमस्ते दुनिया")
+    assert(Set("snd_Deva", "kas_Deva", "sat_Deva").subsetOf(deva), deva)
+
+    // Cyrillic variant with an explicit alphabet participates only when
+    // its alphabet covers the text
+    val srbish = candidatesOf("љепота џеп")
+    assert(srbish.contains("bos_Cyrl"), srbish)
+  }
 }
