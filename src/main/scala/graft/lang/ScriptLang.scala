@@ -14,7 +14,10 @@ package graft.lang
   *
   * Alphabets are defined from public orthography knowledge; script
   * identification uses the JDK's `Character.UnicodeScript` (public Unicode
-  * data). Exact 346-language parity is not required (SURVEY.md §1.4).
+  * data). The registry holds 346 entries — COUNT parity with the
+  * reference's 346 ScriptLanguage variants; the set composition differs
+  * where the reference's unvendored `alphabet_detector` variant list is
+  * not publicly enumerable (SURVEY.md §1.4 permits this).
   */
 object ScriptLang {
 
@@ -409,7 +412,77 @@ object ScriptLang {
       "chu_Glag" -> scriptOnly("GLAGOLITIC"), // Church Slavonic (Glagolitic)
       "smp" -> scriptOnly("SAMARITAN"),   // Samaritan
       "mid" -> scriptOnly("MANDAIC"),     // Mandaic
-      "ave" -> scriptOnly("AVESTAN")      // Avestan
+      "ave" -> scriptOnly("AVESTAN"),     // Avestan
+      // ---- fourteenth batch (round 3): script-unique registrations that
+      // bring the registry to exactly 346 — count parity with the
+      // reference's 346 ScriptLanguage variants (reference: src/lib.rs:3).
+      // All prefilter-only (the reference's "scripts with no models"
+      // bucket): modern minority scripts (Mro, Pau Cin Hau, Wancho,
+      // Gunjala Gondi, Pahawh Hmong, Medefaidrin), secondary scripts of
+      // already-modeled languages (Deseret/Shavian English, Yezidi
+      // Kurmanji, Soyombo/Zanabazar Mongolian, Multani Saraiki), historic
+      // Indic scripts (Brahmi, Kharoshthi, Grantha, Siddham, Nandinagari,
+      // Bhaiksuki, Tirhuta, Modi, Sharada, Takri, Dogra, Khojki,
+      // Khudawadi), and epigraphic/liturgical standards with unambiguous
+      // primary languages (Tangut, Khitan, Old Turkic, Sogdian,
+      // Chorasmian, Pahlavi/Parthian/Manichaean, Ogham, Runic,
+      // Old Italic, Old Hungarian, Elbasan, Caucasian Albanian,
+      // Old Permic, Old Persian, Ugaritic, Phoenician, Cuneiform,
+      // Egyptian hieroglyphs). Nearly all live in supplementary planes,
+      // exercising the non-BMP mask fallback; each is reachable only via
+      // the single-candidate O6 shortcut, so candidate sets of every
+      // previously registered language are unchanged.
+      "mro" -> scriptOnly("MRO"), // Mru
+      "ctd" -> scriptOnly("PAU_CIN_HAU"), // Tedim Chin (Pau Cin Hau)
+      "nnp" -> scriptOnly("WANCHO"), // Wancho
+      "wsg" -> scriptOnly("GUNJALA_GONDI"), // Adilabad Gondi
+      "hmn_Hmng" -> scriptOnly("PAHAWH_HMONG"), // Hmong (Pahawh)
+      "dmf" -> scriptOnly("MEDEFAIDRIN"), // Medefaidrin
+      "mak_Maka" -> scriptOnly("MAKASAR"), // Makasar (old script)
+      "aho" -> scriptOnly("AHOM"), // Ahom
+      "new_Newa" -> scriptOnly("NEWA"), // Newar (Prachalit)
+      "div_Diak" -> scriptOnly("DIVES_AKURU"), // Dhivehi (Dives Akuru)
+      "skr_Mult" -> scriptOnly("MULTANI"), // Saraiki (Multani)
+      "kmr_Yezi" -> scriptOnly("YEZIDI"), // Kurmanji (Yezidi)
+      "eng_Dsrt" -> scriptOnly("DESERET"), // English (Deseret)
+      "eng_Shaw" -> scriptOnly("SHAVIAN"), // English (Shavian)
+      "san_Brah" -> scriptOnly("BRAHMI"), // Sanskrit/Prakrit (Brahmi)
+      "pgd" -> scriptOnly("KHAROSHTHI"), // Gandhari (Kharoshthi)
+      "san_Gran" -> scriptOnly("GRANTHA"), // Sanskrit (Grantha)
+      "san_Sidd" -> scriptOnly("SIDDHAM"), // Sanskrit (Siddham)
+      "san_Nand" -> scriptOnly("NANDINAGARI"), // Sanskrit (Nandinagari)
+      "san_Bhks" -> scriptOnly("BHAIKSUKI"), // Sanskrit (Bhaiksuki)
+      "mai_Tirh" -> scriptOnly("TIRHUTA"), // Maithili (Tirhuta)
+      "mar_Modi" -> scriptOnly("MODI"), // Marathi (Modi)
+      "kas_Shrd" -> scriptOnly("SHARADA"), // Kashmiri (Sharada)
+      "doi_Takr" -> scriptOnly("TAKRI"), // Dogri (Takri)
+      "doi_Dogr" -> scriptOnly("DOGRA"), // Dogri (Dogra)
+      "snd_Khoj" -> scriptOnly("KHOJKI"), // Sindhi (Khojki)
+      "snd_Sind" -> scriptOnly("KHUDAWADI"), // Sindhi (Khudawadi)
+      "txg" -> scriptOnly("TANGUT"), // Tangut
+      "zkt" -> scriptOnly("KHITAN_SMALL_SCRIPT"), // Khitan
+      "xzh" -> scriptOnly("MARCHEN"), // Zhang-Zhung (Marchen)
+      "khk_Soyo" -> scriptOnly("SOYOMBO"), // Mongolian (Soyombo)
+      "khk_Zanb" -> scriptOnly("ZANABAZAR_SQUARE"), // Mongolian (Zanabazar Square)
+      "otk" -> scriptOnly("OLD_TURKIC"), // Old Turkic (Orkhon)
+      "sog" -> scriptOnly("SOGDIAN"), // Sogdian
+      "xco" -> scriptOnly("CHORASMIAN"), // Chorasmian
+      "egy" -> scriptOnly("EGYPTIAN_HIEROGLYPHS"), // Egyptian
+      "pal" -> scriptOnly("INSCRIPTIONAL_PAHLAVI"), // Middle Persian (Pahlavi)
+      "pal_Phlp" -> scriptOnly("PSALTER_PAHLAVI"), // Middle Persian (Psalter)
+      "xpr" -> scriptOnly("INSCRIPTIONAL_PARTHIAN"), // Parthian
+      "xmn" -> scriptOnly("MANICHAEAN"), // Manichaean Middle Persian
+      "sga_Ogam" -> scriptOnly("OGHAM"), // Old Irish (Ogham)
+      "non_Runr" -> scriptOnly("RUNIC"), // Old Norse (Runic)
+      "ett" -> scriptOnly("OLD_ITALIC"), // Etruscan
+      "hun_Hung" -> scriptOnly("OLD_HUNGARIAN"), // Hungarian (Rovas)
+      "sqi_Elba" -> scriptOnly("ELBASAN"), // Albanian (Elbasan)
+      "xag" -> scriptOnly("CAUCASIAN_ALBANIAN"), // Aghwan (Caucasian Albanian)
+      "kom_Perm" -> scriptOnly("OLD_PERMIC"), // Komi (Old Permic)
+      "peo" -> scriptOnly("OLD_PERSIAN"), // Old Persian
+      "uga" -> scriptOnly("UGARITIC"), // Ugaritic
+      "phn" -> scriptOnly("PHOENICIAN"), // Phoenician
+      "akk" -> scriptOnly("CUNEIFORM") // Akkadian
     )
     defs.zipWithIndex.map { case ((code, (scripts, alphabet)), i) =>
       Lang(i, code, scripts, alphabet)

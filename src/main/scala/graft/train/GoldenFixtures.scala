@@ -389,6 +389,60 @@ object GoldenFixtures {
     ("smp", "ࠀࠁࠂ", "raw"),
     ("mid", "ࡀࡁࡂ", "raw"),
     ("ave", "𐬀𐬁𐬂", "raw"),
+    // fourteenth batch: one case per script-unique registration (first
+    // three letters of each script block) — detected through the
+    // single-candidate O6 shortcut, like cja/ii/osa/ave above
+    ("mro", "𖩀𖩁𖩂", "raw"),
+    ("ctd", "𑫀𑫁𑫂", "raw"),
+    ("nnp", "𞋀𞋁𞋂", "raw"),
+    ("wsg", "𑵠𑵡𑵢", "raw"),
+    ("hmn_Hmng", "𖬀𖬁𖬂", "raw"),
+    ("dmf", "𖹀𖹁𖹂", "raw"),
+    ("mak_Maka", "𑻠𑻡𑻢", "raw"),
+    ("aho", "𑜀𑜁𑜂", "raw"),
+    ("new_Newa", "𑐀𑐁𑐂", "raw"),
+    ("div_Diak", "𑤀𑤁𑤂", "raw"),
+    ("skr_Mult", "𑊀𑊁𑊂", "raw"),
+    ("kmr_Yezi", "𐺀𐺁𐺂", "raw"),
+    ("eng_Dsrt", "𐐀𐐁𐐂", "raw"),
+    ("eng_Shaw", "𐑐𐑑𐑒", "raw"),
+    ("san_Brah", "𑀃𑀄𑀅", "raw"),
+    ("pgd", "𐨀𐨐𐨑", "raw"),
+    ("san_Gran", "𑌅𑌆𑌇", "raw"),
+    ("san_Sidd", "𑖀𑖁𑖂", "raw"),
+    ("san_Nand", "𑦠𑦡𑦢", "raw"),
+    ("san_Bhks", "𑰀𑰁𑰂", "raw"),
+    ("mai_Tirh", "𑒀𑒁𑒂", "raw"),
+    ("mar_Modi", "𑘀𑘁𑘂", "raw"),
+    ("kas_Shrd", "𑆃𑆄𑆅", "raw"),
+    ("doi_Takr", "𑚀𑚁𑚂", "raw"),
+    ("doi_Dogr", "𑠀𑠁𑠂", "raw"),
+    ("snd_Khoj", "𑈀𑈁𑈂", "raw"),
+    ("snd_Sind", "𑊰𑊱𑊲", "raw"),
+    ("txg", "𖿠𗀀𗀁", "raw"),
+    ("zkt", "𘬀𘬁𘬂", "raw"),
+    ("xzh", "𑱲𑱳𑱴", "raw"),
+    ("khk_Soyo", "𑩐𑩜𑩝", "raw"),
+    ("khk_Zanb", "𑨀𑨋𑨌", "raw"),
+    ("otk", "𐰀𐰁𐰂", "raw"),
+    ("sog", "𐼰𐼱𐼲", "raw"),
+    ("xco", "𐾰𐾱𐾲", "raw"),
+    ("egy", "𓀀𓀁𓀂", "raw"),
+    ("pal", "𐭠𐭡𐭢", "raw"),
+    ("pal_Phlp", "𐮀𐮁𐮂", "raw"),
+    ("xpr", "𐭀𐭁𐭂", "raw"),
+    ("xmn", "𐫀𐫁𐫂", "raw"),
+    ("sga_Ogam", "ᚁᚂᚃ", "raw"),
+    ("non_Runr", "ᚠᚡᚢ", "raw"),
+    ("ett", "𐌀𐌁𐌂", "raw"),
+    ("hun_Hung", "𐲀𐲁𐲂", "raw"),
+    ("sqi_Elba", "𐔀𐔁𐔂", "raw"),
+    ("xag", "𐔰𐔱𐔲", "raw"),
+    ("kom_Perm", "𐍐𐍑𐍒", "raw"),
+    ("peo", "𐎠𐎡𐎢", "raw"),
+    ("uga", "𐎀𐎁𐎂", "raw"),
+    ("phn", "𐤀𐤁𐤂", "raw"),
+    ("akk", "𒀀𒀁𒀂", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
