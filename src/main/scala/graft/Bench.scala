@@ -157,7 +157,10 @@ object Bench {
         lowSamples = lowSamples ++ lows
         pairEffs :+= lows.min / (highs.min * (scaleHigh.toDouble / scaleLow))
       }
-      if (r == 2 || r == 6) fullSamples = fullSamples ++ pipelineRun(cpus, reps = 2)
+      // full width every even round (8 samples): with only 2 JVMs the
+      // min-of-4 headline was a wave lottery — a single interference wave
+      // spanning both JVMs inflated the round-3 docs/sec 2×
+      if (r % 2 == 0) fullSamples = fullSamples ++ pipelineRun(cpus, reps = 2)
       if (r == 4 || r == 8) microRuns :+= BenchSentences.run()
     }
     val micro: Map[String, Double] =
@@ -222,7 +225,9 @@ object Bench {
          |in multi-minute waves and is one-sided), with medians alongside
          |for dispersion. The high level gets 16 samples vs the low
          |level's 10: round 2 showed the short high-level runs are the
-         |interference-sensitive side.
+         |interference-sensitive side. Full width gets 8 samples spread
+         |over the whole phase (4 JVMs): two JVMs proved to be a wave
+         |lottery for the docs/sec headline.
          |Raw samples (s):
          |local[$scaleLow] = ${lowSamples.map(s => f"$s%.2f").mkString(", ")};
          |local[$scaleHigh] = ${highSamples.map(s => f"$s%.2f").mkString(", ")};
