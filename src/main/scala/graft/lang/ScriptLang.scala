@@ -548,11 +548,46 @@ object ScriptLang {
     t
   }
 
+  // Supplementary planes (cp >= 0x10000): 30+ registered scripts live
+  // there (Adlam, Osage, Tangut, Pahawh Hmong, the batch-14 historic
+  // scripts …). Computing the mask per char would be O(registry) with a
+  // Character.UnicodeScript.of call inside the prefilter hot loop — ~346
+  // set probes per character of e.g. Adlam crawl text. Full tabulation
+  // would be 1M cps × MaskWords × 8 B ≈ 50 MB, so cache per 256-cp BLOCK
+  // on first touch (letters cluster in blocks; a real corpus touches a
+  // handful → a few KB). Lock-free publish via AtomicReferenceArray:
+  // duplicate first-touch computation is benign (same value), then every
+  // subsequent char is one volatile read + array load, like the BMP path.
+  private final val SuppBlocks = (0x110000 - 0x10000) >> 8
+  private lazy val suppMasks =
+    Array.fill(MaskWords)(
+      new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](SuppBlocks))
+
+  private def suppBlock(cp: Int, w: Int): Array[Long] = {
+    val b = (cp - 0x10000) >> 8
+    val cached = suppMasks(w).get(b)
+    if (cached != null) cached
+    else {
+      val t = new Array[Long](256)
+      val base = 0x10000 + (b << 8)
+      var i = 0
+      while (i < 256) {
+        val c = base + i
+        if (Character.isLetter(c)) t(i) = computeMaskWord(c, w)
+        i += 1
+      }
+      suppMasks(w).compareAndSet(b, null, t)
+      suppMasks(w).get(b)
+    }
+  }
+
   /** Language-membership bitmask word `w` (ids 64w .. 64w+63) of a code
     * point.
     */
   @inline def maskWordOf(cp: Int, w: Int): Long =
-    if (cp < 0x10000) bmpMasks(w)(cp) else computeMaskWord(cp, w)
+    if (cp < 0x10000) bmpMasks(w)(cp)
+    else if (cp < 0x110000) suppBlock(cp, w)(cp & 0xFF)
+    else 0L
 
   /** word 0 of the mask (kept for tests/back-compat call sites). */
   @inline def maskOf(cp: Int): Long = maskWordOf(cp, 0)

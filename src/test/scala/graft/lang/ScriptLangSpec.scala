@@ -62,6 +62,26 @@ class ScriptLangSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("supplementary-plane block cache matches the declarative membership definition") {
+    // one representative letter per supplementary-plane script in the
+    // registry, plus block-boundary and non-letter neighbours; query each
+    // TWICE so the second read exercises the cached path
+    val samples = Seq(
+      0x10400, 0x10450, 0x104B0, 0x10C00, 0x10C80, 0x10E80, 0x11003, 0x11183,
+      0x11200, 0x11400, 0x11600, 0x11700, 0x11800, 0x11AC0, 0x11D60, 0x13000,
+      0x16A40, 0x16B00, 0x16E40, 0x17000, 0x18B00, 0x1E2C0, 0x1E900, // letters
+      0x104FF, 0x11FFF, 0x10FFFF,                                    // boundaries
+      0x1F600                                                        // emoji (non-letter)
+    )
+    for (round <- 1 to 2; cp <- samples; l <- ScriptLang.all) {
+      val expected = Character.isLetter(cp) && (
+        if (l.alphabet.nonEmpty) l.alphabet.contains(cp)
+        else l.scripts.contains(ScriptLang.scriptOf(cp)))
+      assert(ScriptLang.belongs(l.id, cp) == expected,
+        s"round $round: ${l.code} vs U+${cp.toHexString}")
+    }
+  }
+
   test("shared-script no-model variants join candidates without displacing modeled langs") {
     // batch-13 contract (the reference's "scripts with no models"
     // bucket): a secondary-script registration is reachable through the
