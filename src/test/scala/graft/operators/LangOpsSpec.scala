@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed language-ID surface: the broadcast-model detector must
+  * produce correct labels from inside Spark partition tasks — including
+  * supplementary-plane scripts, whose membership masks come from the
+  * lock-free block cache (ScriptLang.suppBlock) under concurrent
+  * first-touch from multiple executor threads.
+  */
+class LangOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("detect_lang SQL UDF labels BMP and supplementary-plane text across partitions") {
+    import spark.implicits._
+    LangOps.registerSql(spark)
+    // duplicated rows × 4 partitions: several tasks race the first touch
+    // of the same supplementary blocks
+    val rows = Seq(
+      ("eng", "the house of the people"),
+      ("rus", "хороший день сегодня"),
+      ("eng_Dsrt", "𐐐𐐯𐑊𐐬"), // Deseret letters
+      ("peo", "𐎠𐎡𐎢"),                 // Old Persian
+      ("hmn_Hmng", "𖬀𖬁𖬂")             // Pahawh Hmong
+    )
+    val df = spark.createDataset(
+      (1 to 8).flatMap(_ => rows)).toDF("expected", "text")
+      .repartition(4)
+    df.createOrReplaceTempView("langops_smoke")
+    val bad = spark.sql(
+      "SELECT expected, detect_lang(text)._1 AS got FROM langops_smoke")
+      .where("expected != got").collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+}
