@@ -312,6 +312,39 @@ object SparkEntry {
     // over its own kernel feature columns) in DuckDB. The detection
     // kernel itself is gated by the sbt suites (mock parity, golden
     // corpus, held-out accuracy), not SQL — DuckDB cannot express it.
+    // ANN recall oracles (q26/q30): DuckDB recomputes `cos` from the RAW
+    // embeddings table (a dishonest neighbor or score fails the hash) and
+    // the exact-top-5 membership flag from the dumped q20 output — per-row
+    // auditable recall evidence; the ≥0.9 recall@1 gate over the whole
+    // corpus stays in SimilaritySpec (DuckDB cannot rank what LSH pruned).
+    "q26_lsh_ann" ->
+      """WITH ann AS (SELECT * FROM read_parquet('__OUT_DIR__/q26_lsh_ann/*.parquet')),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT query_id, list(vec_id) AS topk
+        |       FROM read_parquet('__OUT_DIR__/q20_ann_brute_force/*.parquet')
+        |       GROUP BY query_id)
+        |SELECT a.vec_id, a.ann_vec_id,
+        | round(list_dot_product(e1.v, e2.v) /
+        |  (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))), 6) AS cos,
+        | list_contains(ex.topk, a.ann_vec_id) AS ann_in_exact_top5
+        |FROM ann a
+        |JOIN emb e1 ON e1.vec_id = a.vec_id
+        |JOIN emb e2 ON e2.vec_id = a.ann_vec_id
+        |LEFT JOIN ex ON ex.query_id = a.vec_id""".stripMargin,
+    "q30_ivf_ann" ->
+      """WITH ann AS (SELECT * FROM read_parquet('__OUT_DIR__/q30_ivf_ann/*.parquet')),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |ex AS (SELECT query_id, list(vec_id) AS topk
+        |       FROM read_parquet('__OUT_DIR__/q20_ann_brute_force/*.parquet')
+        |       GROUP BY query_id)
+        |SELECT a.query_id, a.rnk, a.vec_id,
+        | round(list_dot_product(q.v, e.v) /
+        |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos,
+        | list_contains(ex.topk, a.vec_id) AS in_exact_top5
+        |FROM ann a
+        |JOIN emb q ON q.vec_id = a.query_id
+        |JOIN emb e ON e.vec_id = a.vec_id
+        |JOIN ex ON ex.query_id = a.query_id""".stripMargin,
     "q23_lang_profile" ->
       """SELECT lang_detected, count(*) AS n_docs,
         | sum(round(confidence * 10000)::BIGINT)::BIGINT AS conf_sum_e4

@@ -126,7 +126,17 @@ private[lang] final class LongSeenSet(initialCap: Int) {
 /** One ranked result: language ordinal + (log or relative) probability. */
 final case class Scored(langId: Int, prob: Double)
 
+object Detector {
+  /** Process-wide construction counter. Each Detector carries ~10
+    * registry-sized scratch arrays, so construction frequency is a
+    * performance invariant worth asserting: the SQL UDF path must build
+    * one per thread, not one per row (LangOpsSpec).
+    */
+  val constructed = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 final class Detector(val model: PackedModel, val config: DetectorConfig) extends Serializable {
+  Detector.constructed.incrementAndGet()
   private val nLangs = model.nLangs
   // dense candidate-membership flags for the configured language set
   private val configured: Array[Boolean] = {

@@ -47,16 +47,29 @@ object LangOps {
       .toDF("doc_id", "lang_detected", "confidence")
   }
 
+  /** One Detector per executor THREAD (not per row): a Detector carries
+    * ~10 registry-sized scratch arrays (~20 KB at 346 languages), so the
+    * round-3 per-row `new Detector` inside the udf closure cost ~10× the
+    * typed-map hot path in allocation alone. `@transient lazy` re-creates
+    * the ThreadLocal after task deserialization; LangOpsSpec asserts the
+    * construction count stays O(threads) via Detector.constructed.
+    */
+  private final class DetectorPool(bc: Broadcast[PackedModel]) extends Serializable {
+    @transient private lazy val tl: ThreadLocal[Detector] =
+      ThreadLocal.withInitial(() => new Detector(bc.value, DetectorConfig.default))
+    def get: Detector = tl.get()
+  }
+
   /** Register `detect_lang(text)` for SQL access, returning
     * STRUCT<lang STRING, confidence DOUBLE> (SURVEY.md §2.2 UDF surface).
     * The typed-map path (q21LangId) stays the hot path; this is the
     * SQL-ergonomics wrapper over the same broadcast model.
     */
   def registerSql(spark: SparkSession): Unit = {
-    val bc = broadcastModel(spark)
+    val pool = new DetectorPool(broadcastModel(spark))
     val f = org.apache.spark.sql.functions.udf { (text: String) =>
       if (text == null) ("und", 0.0)
-      else new Detector(bc.value, DetectorConfig.default).detectWithConfidence(text)
+      else pool.get.detectWithConfidence(text)
     }
     spark.udf.register("detect_lang", f)
   }

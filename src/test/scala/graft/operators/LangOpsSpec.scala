@@ -37,4 +37,22 @@ class LangOpsSpec extends AnyFunSuite {
       .where("expected != got").collect()
     assert(bad.isEmpty, bad.mkString(", "))
   }
+
+  test("detect_lang UDF builds one Detector per thread, not per row") {
+    import graft.lang.Detector
+    LangOps.registerSql(spark)
+    val nRows = 4000
+    spark.range(nRows.toLong)
+      .selectExpr("concat('the house of the people number ', id) AS text")
+      .repartition(8)
+      .createOrReplaceTempView("langops_alloc")
+    // warm once so ThreadLocals for the pool exist on live threads
+    spark.sql("SELECT count(detect_lang(text)._1) FROM langops_alloc").collect()
+    val before = Detector.constructed.get()
+    spark.sql("SELECT count(detect_lang(text)._1) FROM langops_alloc").collect()
+    val made = Detector.constructed.get() - before
+    // local[4] with warm thread-locals: 0 expected; allow a few stragglers
+    // from fresh task threads, but a per-row detector would make ~4000
+    assert(made <= 16, s"UDF constructed $made Detectors for $nRows rows")
+  }
 }
