@@ -45,6 +45,20 @@ object BenchDecompose {
       languages = PagesGen.pipelineLangs.map(graft.lang.ScriptLang.id).toSet)
 
     modes.foreach {
+      case "jaccard" =>
+        // q19 stage decomposition; `path` is an sf dir. Stages are
+        // cumulative plans (docs is persisted by q19Stages, so later
+        // stages exclude the shingle cost after the first touch).
+        val st = graft.operators.TextOps.q19Stages(spark, path, 0.3)
+        println(s"DECOMP j_plan local=${st.usedLocalPlan}")
+        timed("j_shingle_cache") { st.docs.count(); () }
+        timed("j_full") { noop(st.result) }
+        timed("j_dist_prefixes") { noop(st.distPrefixes()) }
+        timed("j_dist_rawpairs") { noop(st.distRawPairs()) }
+        timed("j_dist_candidates") { noop(st.distCandidates()) }
+        println(s"DECOMP j_rows prefixes=${st.distPrefixes().count()} " +
+          s"rawPairs=${st.distRawPairs().count()} candidates=${st.distCandidates().count()}")
+        st.docs.unpersist()
       case "scan" =>
         timed("scan_hash") {
           noop(pages.select($"url", $"warc_ts",

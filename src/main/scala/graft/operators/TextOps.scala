@@ -3,6 +3,7 @@ package graft.operators
 import graft.lang.NgramHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
 
 /** Text analysis + deduplication operators for a training-data pipeline
   * over the `documents` table: token stats, quality scores, PII scrub,
@@ -289,19 +290,138 @@ object TextOps {
     * DuckDB oracle), with candidate generation bounded by rare-gram
     * postings instead of group size².
     */
-  def q19NgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+  def q19NgramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame =
+    q19Stages(spark, sfDir, threshold).result
+
+  /** q19's intermediate plans, exposed for stage-level decomposition
+    * (graft.BenchDecompose `jaccard` mode). The distributed stages are
+    * thunks: when the small-group fast path is chosen, constructing them
+    * (and the df broadcast probe job they require) is skipped entirely.
+    */
+  private[graft] final case class JaccardStages(
+      docs: DataFrame, distPrefixes: () => DataFrame, distRawPairs: () => DataFrame,
+      distCandidates: () => DataFrame, distResult: () => DataFrame,
+      result: DataFrame, usedLocalPlan: Boolean)
+
+  /** Fast-path bounds (per SOURCE group): the classic in-task ppjoin is
+    * used only when every group fits one task's memory with margin —
+    * mirroring Spark's own broadcast-vs-shuffle join decision. Beyond the
+    * bounds (web-scale sources), the gram-parallel distributed plan runs.
+    */
+  final val SmallGroupMaxDocs = 8192
+  final val SmallGroupMaxBytes = 64L << 20
+
+  /** Per-source classic ppjoin, run inside ONE task per source group (the
+    * q19 small-group fast path): local df order → probe/index prefixes →
+    * inverted index with a candidate bitset (pairs deduped at generation,
+    * no distinct shuffle) → inline sorted-array Jaccard verify. Exact:
+    * the gram order only has to be shared WITHIN a source (pairs never
+    * cross sources), and the candidate set provably covers every J ≥ t
+    * pair by the same prefix-filter argument as the distributed plan.
+    */
+  private def localPPJoin(
+      docsIt: Iterator[(String, Long, Array[Long])],
+      threshold: Double
+  ): Iterator[(Long, Long, Double)] = {
+    val tf = threshold / (1 + threshold)
+    val ds = docsIt.toArray
+    val n = ds.length
+    if (n < 2) return Iterator.empty
+    // local document frequency per gram (shared order within the source)
+    val df = new scala.collection.mutable.LongMap[Int](n * 64)
+    ds.foreach { case (_, _, sh) =>
+      var i = 0
+      while (i < sh.length) { df(sh(i)) = df.getOrElse(sh(i), 0) + 1; i += 1 }
+    }
+    // ascending (sz, doc_id): record i of a pair (i, j<sorted) is smaller
+    val ord = ds.sortBy { case (_, id, sh) => (sh.length, id) }
+    // per doc: grams re-sorted by (df, gram); probe prefix = first keep
+    val prefixes = ord.map { case (_, _, sh) =>
+      val byDf = sh.clone()
+      // sort by (df asc, gram asc) via packed comparator
+      val boxed = byDf.map(g => (df(g).toLong, g))
+      java.util.Arrays.sort(boxed, implicitly[Ordering[(Long, Long)]])
+      boxed.map(_._2)
+    }
+    val index = new scala.collection.mutable.LongMap[ArrayBuffer[Int]](1 << 12)
+    val cand = new java.util.BitSet(n)
+    val out = new ArrayBuffer[(Long, Long, Double)]()
+    var j = 0
+    while (j < n) {
+      val (_, idJ, shJ) = ord(j)
+      val szJ = shJ.length
+      val minszJ = math.ceil(szJ * threshold).toInt
+      val keepJ = szJ - minszJ + 1
+      val pj = prefixes(j)
+      var g = 0
+      while (g < keepJ) {
+        index.get(pj(g)).foreach { lst =>
+          var y = 0
+          while (y < lst.length) { cand.set(lst(y)); y += 1 }
+        }
+        g += 1
+      }
+      var i = cand.nextSetBit(0)
+      while (i >= 0) {
+        val (_, idI, shI) = ord(i)
+        if (shI.length >= minszJ) { // length filter (i ≤ j ⇒ szI ≤ szJ)
+          val jac = exactJaccard(shI, shJ)
+          if (jac >= threshold) {
+            val a = math.min(idI, idJ); val b = math.max(idI, idJ)
+            out += ((a, b, jac))
+          }
+        }
+        i = cand.nextSetBit(i + 1)
+      }
+      cand.clear()
+      // index only the INDEX prefix (asymmetric ppjoin bound)
+      val idxKeepJ = szJ - math.ceil(2 * tf * szJ).toInt + 1
+      g = 0
+      while (g < idxKeepJ) {
+        index.getOrElseUpdate(pj(g), new ArrayBuffer[Int](4)) += j
+        g += 1
+      }
+      j += 1
+    }
+    out.iterator
+  }
+
+  private[graft] def q19Stages(spark: SparkSession, sfDir: String, threshold: Double): JaccardStages = {
     import spark.implicits._
     // repartition BEFORE shingling: the broadcast-df prefix plan below has
     // no exchange between the scan and the candidate join, so the scan's
     // split count caps parallelism for the whole chain (sf0.1 = one
     // parquet file = one core without this; at 100 TB the scan itself has
     // the splits and this exchange coalesces nothing of note)
+    //
+    // PERSISTED: four downstream consumers (df agg + probe, the prefix
+    // pass, and both sides of the verify rejoin) would otherwise re-run
+    // the scan+shingle chain — on a contended host every recomputation is
+    // another window of interference exposure (the round-3 driver window
+    // measured this query at 4× its quiet cost). At warehouse scale the
+    // same reuse is a checkpointed intermediate table; the storage level
+    // spills to disk so the cache never OOMs a task.
     val docs = Tables.documents(spark, sfDir)
       .select($"source", $"doc_id", $"text")
       .repartition($"doc_id")
       .as[(String, Long, String)]
       .map { case (src, id, text) => (src, id, shingleHashes(text, ShingleSize)) }
       .toDF("source", "doc_id", "shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Adaptive plan choice, decided from ONE tiny agg over the cached docs
+    // (which also materializes the cache): if every source group fits a
+    // task with margin, run the classic ppjoin locally per source —
+    // candidate pairs deduped at generation by a bitset, verify inline, so
+    // the whole query is ONE exchange (by source) instead of prefix-row
+    // shuffle + pair distinct + verify rejoin. The gram-parallel plan
+    // below remains the web-scale path (sources with millions of docs).
+    val stats = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum(size($"shingles")).as("grams"))
+      .agg(max($"n"), max($"grams") * 8L)
+      .collect()(0)
+    val smallGroups = !stats.isNullAt(0) &&
+      stats.getLong(0) <= SmallGroupMaxDocs && stats.getLong(1) <= SmallGroupMaxBytes
 
     val grams = docs.select($"source", $"doc_id", explode($"shingles").as("gram"))
     val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
@@ -324,19 +444,40 @@ object TextOps {
     // broadcast path still applies with an APPROXIMATE order (top-K hot
     // grams by sampled df + hash order for the tail) — still exact output,
     // only the candidate count is heuristic.
-    // pos = the gram's rank in ITS OWN document's sorted order — the
-    // ppjoin positional filter's per-record position
-    def selectPrefix(src: String, id: Long, dg: Array[(Long, Long)]): Iterator[(String, Long, Long, Int, Int)] = {
+    // Per record: sz = the doc's distinct-gram count; rem = sz − pos (the
+    // positional filter's remaining-gram count); idx = whether the gram
+    // also lies in the doc's shorter INDEX prefix (ppjoin's asymmetric
+    // prefix, Xiao et al. 2008: a true pair must share a gram between the
+    // larger doc's PROBING prefix — length sz − ⌈t·sz⌉ + 1 — and the
+    // smaller doc's INDEX prefix — length sz − ⌈2t/(1+t)·sz⌉ + 1). Both
+    // bounds are precomputed per ROW so pair generation below is pure
+    // primitive compares.
+    val tf = threshold / (1 + threshold)
+    // Prefix rows are ALL-PRIMITIVE: the (source, gram) group key is
+    // folded into one mixed 64-bit `key` (same collision envelope as the
+    // 64-bit shingle hashes the whole operator's exactness already rides
+    // on), `idx` is sign-packed into rem — so the exchange carries 4
+    // longs/ints per row and encodes without a single object.
+    def selectPrefix(srcHash: Long, id: Long, dg: Array[(Long, Long)]): Iterator[(Long, Long, Int, Int)] = {
       val sz = dg.length
-      val keep = sz - math.ceil(sz * threshold).toInt + 1
+      val minsz = math.ceil(sz * threshold).toInt
+      val keep = sz - minsz + 1
+      val idxMinRem = math.ceil(2 * tf * sz).toInt // rem ≥ this ⇔ in index prefix
       java.util.Arrays.sort(dg, implicitly[Ordering[(Long, Long)]])
       dg.iterator.take(keep).zipWithIndex
-        .map { case ((_, gram), pos) => (src, id, gram, sz, pos) }
+        .map { case ((_, gram), pos) =>
+          val rem = sz - pos
+          // negative rem ⇔ gram also in the doc's INDEX prefix
+          (mix(gram ^ srcHash), id, sz, if (rem >= idxMinRem) -rem else rem)
+        }
     }
     val dfBroadcastMax = 4 << 20 // ~64 MB of (gram, df) pairs
-    // ONE job probes size and fetches: limit(max+1) truncating ⇔ too big
-    val probe = df.limit(dfBroadcastMax + 1).as[(Long, Long)].collect()
-    val prefixes = (
+    def sourceHash(src: String): Long =
+      graft.functions.FnvHash64.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(src))
+    lazy val prefixes: org.apache.spark.sql.Dataset[(Long, Long, Int, Int)] = {
+      // ONE job probes size and fetches: limit(max+1) truncating ⇔ too big
+      val probe = df.limit(dfBroadcastMax + 1).as[(Long, Long)].collect()
       if (probe.length <= dfBroadcastMax) {
         val pairs = probe.sortBy(_._1)
         val gs = pairs.map(_._1)
@@ -344,7 +485,7 @@ object TextOps {
         val bc = spark.sparkContext.broadcast((gs, ds))
         docs.as[(String, Long, Array[Long])].flatMap { case (src, id, sh) =>
           val (g, d) = bc.value
-          selectPrefix(src, id, sh.map { x =>
+          selectPrefix(sourceHash(src), id, sh.map { x =>
             (d(java.util.Arrays.binarySearch(g, x)), x)
           })
         }
@@ -354,42 +495,101 @@ object TextOps {
           .groupBy($"source", $"doc_id")
           .agg(collect_list(struct($"df", $"gram")).as("dg"))
           .as[(String, Long, Array[(Long, Long)])]
-          .flatMap { case (src, id, dg) => selectPrefix(src, id, dg) }
+          .flatMap { case (src, id, dg) => selectPrefix(sourceHash(src), id, dg) }
       }
-    ).toDF("source", "doc_id", "gram", "sz", "pos")
+    }
 
-    // Length filter (exact): J(A,B) ≥ t forces t·|B| ≤ |A| (and vice
-    // versa). Positional filter (ppjoin, also exact): a true pair needs
-    // overlap c ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉, and at the pair's FIRST shared
-    // gram (positions pa, pb in the shared order) every shared gram lies
-    // at ≥ pa in A and ≥ pb in B, so c ≤ min(|A|−pa, |B|−pb): the
-    // first-match row always survives the bound, later-match duplicate
-    // rows may be pruned BEFORE the distinct shuffle — output unchanged,
-    // pair-row traffic cut. Both prune inside the join condition.
-    // The merge hint matters: with ~10³ distinct grams the join keys are
-    // extremely hot, and sort-merge enumerates each key group from two
-    // sorted runs (sequential, cache-friendly) where a hash join walks a
-    // 7·10⁵-entry chain-bucketed HashedRelation per probe — measured 4.5 s
-    // (broadcast-hash) vs 1.8 s (sort-merge) on identical inputs at sf0.1.
-    val candidates = prefixes.as("l").hint("merge")
-      .join(prefixes.as("r"), expr(
-        s"""l.source = r.source AND l.gram = r.gram AND l.doc_id < r.doc_id
-           |AND l.sz >= ceil(r.sz * $threshold) AND r.sz >= ceil(l.sz * $threshold)
-           |AND least(l.sz - l.pos, r.sz - r.pos) >=
-           |    ceil((l.sz + r.sz) * $threshold / (1 + $threshold))""".stripMargin))
-      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
-      .distinct()
+    // Candidate generation: group the prefix rows by (source, gram) and
+    // enumerate pairs in a TIGHT PRIMITIVE LOOP per posting list. The
+    // round-3 form expressed the same enumeration as a sort-merge
+    // self-join; with hot keys (tiny synthetic vocabulary: ~2k distinct
+    // grams, 19M raw combos at sf0.1) the join machinery paid ~300 ns of
+    // row handling per combo — 6 s of the query's 7 s. Here a combo is a
+    // few array reads and compares. Filters applied inside the loop, all
+    // exact (output set unchanged):
+    //  - length (J ≥ t ⇒ t·|A| ≤ |B|): sz-sorted postings + an advancing
+    //    start pointer, so below-bound combos are never touched;
+    //  - ppjoin positional: overlap c ≥ ⌈tf·(szA+szB)⌉ but c ≤
+    //    min(remA, remB) at the shared gram (`int ≥ real` ⇔
+    //    `int ≥ ceil(real)`: one multiply, no ceil);
+    //  - asymmetric index prefix: the smaller record must hold the gram
+    //    in its INDEX prefix (cuts combos ~38% at sf0.1).
+    // Scale: the shuffle carries the same prefix rows the join shuffled;
+    // one posting list is buffered per task (df-ordering pushes hot grams
+    // OUT of prefixes, bounding lists — the same property the join's
+    // per-key buffering relied on; a pathological key would need the
+    // documented hot-gram cap). Pair dedup across keys stays in
+    // `.distinct()`, fed by already-filtered pairs.
+    lazy val rawPairs = prefixes
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Int, Int)]) =>
+        val buf = new ArrayBuffer[(Long, Long, Int, Int)](64)
+        it.foreach(buf += _)
+        val n = buf.length
+        if (n < 2) Iterator.empty
+        else {
+          // sort by (sz, doc_id): recs[i] is the "smaller" side of pair (i, j)
+          val arr = buf.toArray
+          java.util.Arrays.sort(arr, Ordering.by((r: (Long, Long, Int, Int)) => (r._3, r._2)))
+          val ids = new Array[Long](n)
+          val szs = new Array[Int](n)
+          val rems = new Array[Int](n) // negative ⇔ index-prefix member
+          var x = 0
+          while (x < n) {
+            val r = arr(x); ids(x) = r._2; szs(x) = r._3; rems(x) = r._4; x += 1
+          }
+          val out = new ArrayBuffer[(Long, Long)](n)
+          var start = 0
+          var j = 1
+          while (j < n) {
+            val szJ = szs(j)
+            val remJ = math.abs(rems(j))
+            val minszJ = math.ceil(szJ * threshold).toInt
+            while (szs(start) < minszJ) start += 1 // monotone in j
+            var i = start
+            while (i < j) {
+              if (rems(i) < 0) { // index-prefix member
+                val remI = -rems(i)
+                val m = if (remI < remJ) remI else remJ
+                if (m >= (szs(i) + szJ) * tf) {
+                  val a = ids(i); val b = ids(j)
+                  out += (if (a < b) (a, b) else (b, a))
+                }
+              }
+              i += 1
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_a", "doc_b")
+    lazy val candidates = rawPairs.distinct()
 
-    val sh = docs.select($"doc_id", $"shingles")
-    candidates
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, shA, shB) => (a, b, exactJaccard(shA, shB)) }
+    lazy val distResult = {
+      val sh = docs.select($"doc_id", $"shingles")
+      candidates
+        .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+        .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+        .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+        .as[(Long, Long, Array[Long], Array[Long])]
+        .map { case (a, b, shA, shB) => (a, b, exactJaccard(shA, shB)) }
+        .toDF("doc_a", "doc_b", "jaccard")
+        .filter($"jaccard" >= threshold)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+    }
+
+    lazy val localResult = docs.as[(String, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: String, it: Iterator[(String, Long, Array[Long])]) =>
+        localPPJoin(it, threshold)
+      }
       .toDF("doc_a", "doc_b", "jaccard")
-      .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+
+    JaccardStages(docs, () => prefixes.toDF(), () => rawPairs, () => candidates,
+      () => distResult,
+      if (smallGroups) localResult else distResult, usedLocalPlan = smallGroups)
   }
 
   /** Document fingerprint, winnowing flavor: whole-content hash + the
