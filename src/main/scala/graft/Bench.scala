@@ -150,7 +150,9 @@ object Bench {
     var fullSamples = Seq.empty[Double]
     var pairEffs = Seq.empty[Double]
     (1 to 8).foreach { r =>
-      val highs = pipelineRun(scaleHigh, reps = 2)
+      // 3 timed reps at the cheap levels: each extra rep costs seconds and
+      // gives the min another shot inside the same scheduling slot
+      val highs = pipelineRun(scaleHigh, reps = 3)
       highSamples = highSamples ++ highs
       if (r == 1 || r == 3 || r == 5 || r == 7 || r == 8) {
         val lows = pipelineRun(scaleLow, reps = 2)
@@ -160,8 +162,38 @@ object Bench {
       // full width every even round (8 samples): with only 2 JVMs the
       // min-of-4 headline was a wave lottery — a single interference wave
       // spanning both JVMs inflated the round-3 docs/sec 2×
-      if (r % 2 == 0) fullSamples = fullSamples ++ pipelineRun(cpus, reps = 2)
+      if (r % 2 == 0) fullSamples = fullSamples ++ pipelineRun(cpus, reps = 3)
       if (r == 4 || r == 8) microRuns :+= BenchSentences.run()
+    }
+
+    // ---- adaptive top-up until the per-level minima CONVERGE -----------
+    // The min estimator is only credible once a level holds TWO nearly
+    // equal fastest samples (min vs 2nd-min gap < 10%): round 3 shipped a
+    // passing headline whose high-level gap was 41% — a single lucky
+    // quiet sample. Keep adding interleaved fresh-JVM samples at the
+    // worst-gap level until every level converges or the time budget
+    // (default 9 min) runs out; the budget is reported honestly either
+    // way. One-sided interference ⇒ extra samples can only sharpen mins.
+    def gapOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size < 2) Double.MaxValue else s(1) / s(0) - 1.0
+    }
+    val gapTarget = 0.10
+    val topupDeadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_TOPUP_SEC", "540").toLong * 1000000000L
+    var topups = 0
+    while ({
+      val worstGap = math.max(gapOf(lowSamples), math.max(gapOf(highSamples), gapOf(fullSamples)))
+      worstGap > gapTarget && System.nanoTime() < topupDeadline && topups < 12
+    }) {
+      val gaps = Seq(
+        ("low", gapOf(lowSamples)), ("high", gapOf(highSamples)), ("full", gapOf(fullSamples)))
+      gaps.maxBy(_._2)._1 match {
+        case "low"  => lowSamples = lowSamples ++ pipelineRun(scaleLow, reps = 2)
+        case "high" => highSamples = highSamples ++ pipelineRun(scaleHigh, reps = 3)
+        case "full" => fullSamples = fullSamples ++ pipelineRun(cpus, reps = 3)
+      }
+      topups += 1
     }
     val micro: Map[String, Double] =
       microRuns.flatMap(_.keys).distinct.map { k =>
@@ -199,6 +231,10 @@ object Bench {
       s""""samples_high":[${highSamples.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""samples_full":[${fullSamples.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""parallelism":[$scaleLow,$scaleHigh],"full_width":$cpus,"bench_pages":$benchPages,""" +
+      s""""min_gap_low":${math.round(gapOf(lowSamples) * 1000.0) / 1000.0},""" +
+      s""""min_gap_high":${math.round(gapOf(highSamples) * 1000.0) / 1000.0},""" +
+      s""""min_gap_full":${math.round(gapOf(fullSamples) * 1000.0) / 1000.0},""" +
+      s""""topup_jvms":$topups,""" +
       s""""detector_micro":$microJson"""
     println(
       s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec",""" +
@@ -223,11 +259,14 @@ object Bench {
          |spark-submit per cluster size); headline = min over interleaved
          |samples (the quiet-host estimate — shared-host interference comes
          |in multi-minute waves and is one-sided), with medians alongside
-         |for dispersion. The high level gets 16 samples vs the low
-         |level's 10: round 2 showed the short high-level runs are the
-         |interference-sensitive side. Full width gets 8 samples spread
-         |over the whole phase (4 JVMs): two JVMs proved to be a wave
-         |lottery for the docs/sec headline.
+         |for dispersion. The high level gets the most samples: round 2
+         |showed the short high-level runs are the interference-sensitive
+         |side. After the fixed schedule, ADAPTIVE TOP-UP rounds keep
+         |sampling whichever level's min-vs-2nd-min gap exceeds 10% until
+         |every level's min is corroborated by a second nearly-equal
+         |sample or the time budget (~9 min) runs out — this run used
+         |$topups top-up JVMs. A >10% residual gap below means that
+         |level's min is still a single uncorroborated sample.
          |Raw samples (s):
          |local[$scaleLow] = ${lowSamples.map(s => f"$s%.2f").mkString(", ")};
          |local[$scaleHigh] = ${highSamples.map(s => f"$s%.2f").mkString(", ")};
@@ -244,7 +283,9 @@ object Bench {
          |one-sided (only adds time), so the min over interleaved samples
          |converges to the quiet-host time per level. Convergence check:
          |min vs 2nd-min gap ${f"${(second(lowSamples) / tLow - 1) * 100}%.1f"}%% (low) /
-         |${f"${(second(highSamples) / tHigh - 1) * 100}%.1f"}%% (high) — a
+         |${f"${(second(highSamples) / tHigh - 1) * 100}%.1f"}%% (high) /
+         |${f"${(second(fullSamples) / tFull - 1) * 100}%.1f"}%% (full width)
+         |after $topups adaptive top-up JVMs (target < 10%% each) — a
          |large gap means that level's min has NOT converged and the
          |efficiency figure should be read with suspicion. Per-round paired
          |efficiencies: ${pairEffs.map(e => f"$e%.3f").mkString(", ")}
