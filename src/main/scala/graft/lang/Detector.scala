@@ -154,7 +154,12 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   // candidate set as a bitmask, ANDed against ProbTable's per-slot
   // language masks (see probeNgram)
   private val candMask = new Array[Long]((nLangs + 63) >> 6)
-  private val seen = new LongSeenSet(256)
+  // one seen-set per char-gram size: the windowing pass walks each start
+  // position ONCE, extending one rolling FNV prefix and emitting every
+  // enabled size — per-size dedup is preserved by giving each size its
+  // own set (same distinct-ngram sets as the reference's per-size pass,
+  // src/ngrams.rs:34-43)
+  private val seens = Array.fill(5)(new LongSeenSet(256))
 
   /** Diagnostics from the LAST probabilities call (valid until the next
     * call): distinct n-grams probed and per-language hit counts (used by the
@@ -177,6 +182,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     */
   def probabilities(text: String): ArrayBuffer[Scored] = {
     detectInPlace(text)
+    sortResults()
     val out = new ArrayBuffer[Scored](resN)
     var i = 0
     while (i < resN) { out += Scored(resLangs(i), resProbs(i)); i += 1 }
@@ -190,6 +196,8 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   def detectInPlace(text: String): Int = {
     probedCount = 0 // reset up-front: early-return paths must not leak stale diagnostics
     resN = 0
+    resSorted = true // empty result is trivially sorted
+    t1Prob = Double.NaN; t1Lang = -1; t2Prob = Double.NegativeInfinity
     tokBuf.clear()
     if (text.isEmpty) return 0
 
@@ -205,6 +213,8 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     if (tokBuf.nWords == 0 || nCand == 0) return 0
     if (nCand == 1) {
       resLangs(0) = candBuf(0); resProbs(0) = 0.0; resN = 1
+      t1Lang = candBuf(0); t1Prob = 0.0; t2Prob = Double.NegativeInfinity
+      resSorted = true
       return 1
     }
 
@@ -244,26 +254,44 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     // mock-parity and golden suites, not by a bitwise claim.
     val cps = tokBuf.cps
     var charHitNgrams = 0
+    // Prefix-walk windowing: for each start position, extend ONE FNV
+    // prefix hash up to the largest enabled window and emit each enabled
+    // size along the way — ≤5 hash steps per position instead of
+    // Σ(sizes) (15 for the short-text 1..5 set). The (start, len) window
+    // set, per-size dedup (own seen-set per size) and per-size
+    // accumulation are identical to the size-major pass; only the
+    // floating-point ADD ORDER across sizes differs (reassociation-
+    // equivalent, same envelope as the closed-form floor accounting).
+    var sizeBits = 0
     var s = 0
     while (s < nSizes) {
-      val n = sizes(s) + 1 // window length
-      val table = model.charTables(sizes(s))
-      seen.clear()
-      var wi = 0
-      while (wi < tokBuf.nWords) {
-        var start = tokBuf.start(wi)
-        val stop = tokBuf.end(wi) - n
-        while (start <= stop) {
-          val key = NgramHash.ofWindow(cps, start, n)
-          if (seen.add(key)) {
-            probedCount += 1
-            if (probeNgram(table, key)) charHitNgrams += 1
-          }
-          start += 1
-        }
-        wi += 1
-      }
+      sizeBits |= 1 << sizes(s)
+      seens(sizes(s)).clear()
       s += 1
+    }
+    val maxLen = 32 - Integer.numberOfLeadingZeros(sizeBits) // highest size + 1
+    var wi = 0
+    while (wi < tokBuf.nWords) {
+      var start = tokBuf.start(wi)
+      val end = tokBuf.end(wi)
+      while (start < end) {
+        var h = NgramHash.Seed
+        val lim = if (end - start < maxLen) end - start else maxLen
+        var len = 0
+        while (len < lim) {
+          h = NgramHash.step(h, cps(start + len))
+          if ((sizeBits & (1 << len)) != 0) { // size index == len (window len-1+1)
+            val key = if (h == 0L) NgramHash.ZeroRemap else h
+            if (seens(len).add(key)) {
+              probedCount += 1
+              if (probeNgram(model.charTables(len), key)) charHitNgrams += 1
+            }
+          }
+          len += 1
+        }
+        start += 1
+      }
+      wi += 1
     }
     // char-phase floors; snapshot char-phase hit counts for the word phase
     i = 0
@@ -292,18 +320,43 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       }
     }
 
-    // mean log-prob per candidate; cnt==0 → −∞ (src/detector/mod.rs:202-220)
+    // mean log-prob per candidate; cnt==0 → −∞ (src/detector/mod.rs:202-220).
+    // Results are left UNSORTED (candidate = ascending ordinal order) and
+    // the top-2 of the reference's (prob desc, ordinal asc) order is
+    // tracked inline: every public consumer (top-one raw/or-none/
+    // reordered, softmax confidence) only needs top-1/top-2 plus linear
+    // scans, so the O(n²) insertion sort over ~100+ candidates moved off
+    // the hot path into sortResults() for the full-distribution API.
     resN = 0
+    resSorted = false
+    t1Prob = Double.NaN; t1Lang = -1; t2Prob = Double.NegativeInfinity
     i = 0
     while (i < nCand) {
       val l = candBuf(i)
+      val p = if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l)
       resLangs(resN) = l
-      resProbs(resN) = if (cnts(l) == 0) Double.NegativeInfinity else sums(l) / cnts(l)
+      resProbs(resN) = p
+      // ascending-ordinal scan ⇒ strict > replicates the ordinal-asc
+      // tiebreak of the reference sort (first seen among ties wins)
+      if (resN == 0) { t1Prob = p; t1Lang = l }
+      else if (java.lang.Double.compare(p, t1Prob) > 0) {
+        t2Prob = t1Prob; t1Prob = p; t1Lang = l
+      } else if (java.lang.Double.compare(p, t2Prob) > 0) {
+        t2Prob = p
+      }
       resN += 1
       i += 1
     }
-    // in-place insertion sort: prob desc (total order), lang ordinal asc
-    i = 1
+    resN
+  }
+
+  /** Sort the in-place result like the reference (prob desc via total_cmp,
+    * ordinal asc tiebreak — src/detector/mod.rs:310,455-464). Off the hot
+    * path: top-one and confidence consumers work on the unsorted arrays.
+    */
+  def sortResults(): Unit = {
+    if (resSorted) return
+    var i = 1
     while (i < resN) {
       val pl = resLangs(i)
       val pp = resProbs(i)
@@ -317,29 +370,40 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
       resLangs(j + 1) = pl; resProbs(j + 1) = pp
       i += 1
     }
-    resN
+    resSorted = true
   }
 
-  /** In-place result of the LAST detection: ranked language ids / log
-    * probs in reused arrays (valid until the next call).
+  /** In-place result of the LAST detection: language ids / log probs in
+    * reused arrays (valid until the next call). UNSORTED unless
+    * sortResults() has been called; the (prob desc, ordinal asc) top
+    * entry is always available via topLang/topProb.
     */
   private val resLangs = new Array[Int](ScriptLang.count)
   private val resProbs = new Array[Double](ScriptLang.count)
   private var resN = 0
+  private var resSorted = false
+  private var t1Prob = Double.NaN
+  private var t1Lang = -1
+  private var t2Prob = Double.NegativeInfinity
   def resultCount: Int = resN
   def resultLang(i: Int): Int = resLangs(i)
   def resultProb(i: Int): Double = resProbs(i)
+  /** top-1 of the reference result order (valid when resultCount > 0) */
+  def topLang: Int = t1Lang
+  def topProb: Double = t1Prob
+  /** second-ranked log prob (−∞ when resultCount < 2) */
+  def secondProb: Double = t2Prob
 
   /** Popularity reorder pick over the in-place result (reference:
     * src/detector/mod.rs:383-431): among langs with p ≥ p1 − d, minimum
-    * ordinal wins.
+    * ordinal wins. One linear scan over the unsorted result.
     */
   def reorderPickInPlace(d: Double): Int = {
-    val reorderProb = resProbs(0) - d
-    var best = resLangs(0)
-    var i = 1
-    while (i < resN && resProbs(i) >= reorderProb) {
-      if (resLangs(i) < best) best = resLangs(i)
+    val reorderProb = t1Prob - d
+    var best = t1Lang
+    var i = 0
+    while (i < resN) {
+      if (resLangs(i) < best && resProbs(i) >= reorderProb) best = resLangs(i)
       i += 1
     }
     best
@@ -417,15 +481,17 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     exped.map(s => Scored(s.langId, s.prob / denom))
   }
 
-  /** Top-1 with min-distance gate (reference: src/detector/mod.rs:351-374). */
+  /** Top-1 with min-distance gate (reference: src/detector/mod.rs:351-374).
+    * Allocation-free: works off the tracked top-2 of the in-place result.
+    */
   def detectTopOneOrNone(text: String, minimumDistance: Double): Option[Int] = {
-    val probs = probabilities(text)
-    if (probs.isEmpty) return None
-    if (probs.length == 1) return Some(probs(0).langId)
-    val diff = probs(0).prob - probs(1).prob
+    val n = detectInPlace(text)
+    if (n == 0) return None
+    if (n == 1) return Some(t1Lang)
+    val diff = t1Prob - t2Prob
     // 2.220446049250313e-16 == f64::EPSILON (reference: src/detector/mod.rs:366-369)
     if (diff.isNaN || diff < 2.220446049250313e-16 || diff < minimumDistance) None
-    else Some(probs(0).langId)
+    else Some(t1Lang)
   }
 
   /** Default reorder distance `1.35 / (utf8_bytes + n_words³ − 1)` over the
@@ -457,13 +523,13 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
   }
 
   def detectTopOneReordered(text: String): Option[Int] = {
-    val probs = probabilities(text)
-    if (probs.isEmpty) None else Some(reorderPick(probs, defaultReorderDistance))
+    val n = detectInPlace(text)
+    if (n == 0) None else Some(reorderPickInPlace(defaultReorderDistance))
   }
 
   def detectTopOneRaw(text: String): Option[Int] = {
-    val probs = probabilities(text)
-    if (probs.isEmpty) None else Some(reorderPick(probs, 0.0))
+    val n = detectInPlace(text)
+    if (n == 0) None else Some(reorderPickInPlace(0.0))
   }
 
   /** Softmax relative probability of `lang` over the LAST detectInPlace
@@ -473,15 +539,19 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     */
   def confidenceOfInPlace(lang: Int): Double = {
     if (resN == 0) return 0.0
-    val first = resProbs(0)
+    val first = t1Prob
     if (first == 0.0) {
       // only the zero-prob langs survive relativization, uniformly
+      // (order-free: count all zero-prob entries in the unsorted result)
       var zeros = 0
       var pickIsZero = false
       var i = 0
-      while (i < resN && resProbs(i) == 0.0) {
-        if (resLangs(i) == lang) pickIsZero = true
-        zeros += 1; i += 1
+      while (i < resN) {
+        if (resProbs(i) == 0.0) {
+          if (resLangs(i) == lang) pickIsZero = true
+          zeros += 1
+        }
+        i += 1
       }
       if (pickIsZero) 1.0 / zeros else 0.0
     } else if (first == Double.NegativeInfinity) {
@@ -496,7 +566,7 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
         if (resLangs(i) == lang) p = pi
         i += 1
       }
-      if (denom == 0.0) { if (lang == resLangs(0)) 1.0 else 0.0 }
+      if (denom == 0.0) { if (lang == t1Lang) 1.0 else 0.0 }
       else math.exp(p) / denom
     }
   }

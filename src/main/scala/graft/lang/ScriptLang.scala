@@ -535,14 +535,19 @@ object ScriptLang {
     mask
   }
 
-  private lazy val bmpMasks: Array[Array[Long]] = Array.tabulate(MaskWords)(buildBmp)
-
-  private def buildBmp(word: Int): Array[Long] = {
-    val t = new Array[Long](0x10000)
+  // cp-MAJOR flat layout: the MaskWords words of one code point are
+  // adjacent (`bmpMasks(cp*MaskWords + w)`), so the per-char prefilter
+  // loop touches ONE cache line per char instead of MaskWords separate
+  // 512 KB word-major tables (6 likely-missing lines per char at the
+  // 346-entry registry).
+  private lazy val bmpMasks: Array[Long] = {
+    val t = new Array[Long](0x10000 * MaskWords)
     var cp = 0
     while (cp < 0x10000) {
-      if (!Character.isSurrogate(cp.toChar) && Character.isLetter(cp))
-        t(cp) = computeMaskWord(cp, word)
+      if (!Character.isSurrogate(cp.toChar) && Character.isLetter(cp)) {
+        var w = 0
+        while (w < MaskWords) { t(cp * MaskWords + w) = computeMaskWord(cp, w); w += 1 }
+      }
       cp += 1
     }
     t
@@ -560,24 +565,29 @@ object ScriptLang {
   // subsequent char is one volatile read + array load, like the BMP path.
   private final val SuppBlocks = (0x110000 - 0x10000) >> 8
   private lazy val suppMasks =
-    Array.fill(MaskWords)(
-      new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](SuppBlocks))
+    new java.util.concurrent.atomic.AtomicReferenceArray[Array[Long]](SuppBlocks)
 
-  private def suppBlock(cp: Int, w: Int): Array[Long] = {
+  /** One cached block: 256 cps × MaskWords longs, cp-major like the BMP
+    * table (all words of one cp computed and published together).
+    */
+  private def suppBlock(cp: Int): Array[Long] = {
     val b = (cp - 0x10000) >> 8
-    val cached = suppMasks(w).get(b)
+    val cached = suppMasks.get(b)
     if (cached != null) cached
     else {
-      val t = new Array[Long](256)
+      val t = new Array[Long](256 * MaskWords)
       val base = 0x10000 + (b << 8)
       var i = 0
       while (i < 256) {
         val c = base + i
-        if (Character.isLetter(c)) t(i) = computeMaskWord(c, w)
+        if (Character.isLetter(c)) {
+          var w = 0
+          while (w < MaskWords) { t(i * MaskWords + w) = computeMaskWord(c, w); w += 1 }
+        }
         i += 1
       }
-      suppMasks(w).compareAndSet(b, null, t)
-      suppMasks(w).get(b)
+      suppMasks.compareAndSet(b, null, t)
+      suppMasks.get(b)
     }
   }
 
@@ -585,12 +595,21 @@ object ScriptLang {
     * point.
     */
   @inline def maskWordOf(cp: Int, w: Int): Long =
-    if (cp < 0x10000) bmpMasks(w)(cp)
-    else if (cp < 0x110000) suppBlock(cp, w)(cp & 0xFF)
+    if (cp < 0x10000) bmpMasks(cp * MaskWords + w)
+    else if (cp < 0x110000) suppBlock(cp)((cp & 0xFF) * MaskWords + w)
     else 0L
 
   /** word 0 of the mask (kept for tests/back-compat call sites). */
   @inline def maskOf(cp: Int): Long = maskWordOf(cp, 0)
+
+  // Row access for hot loops that read ALL MaskWords words of one cp:
+  // one bounds-checked array + base pair instead of MaskWords dispatches.
+  /** backing storage holding cp's mask row (valid for cp < 0x110000) */
+  @inline def maskRowArray(cp: Int): Array[Long] =
+    if (cp < 0x10000) bmpMasks else suppBlock(cp)
+  /** base index of cp's row within maskRowArray(cp) */
+  @inline def maskRowBase(cp: Int): Int =
+    if (cp < 0x10000) cp * MaskWords else (cp & 0xFF) * MaskWords
 
   /** True iff code point `cp` belongs to language `langId`'s orthography:
     * explicit-alphabet langs check the alphabet set; script-only langs check

@@ -152,9 +152,13 @@ object Tokenizer {
     val n = buf.totalCps
     while (i < n) {
       val cp = buf.cps(i)
+      // one row fetch per char: the cp-major mask layout puts all words
+      // of this cp on adjacent indices (≈ one cache line)
+      val row = ScriptLang.maskRowArray(cp)
+      val base = ScriptLang.maskRowBase(cp)
       var any = false
       var w = 0
-      while (w < nw && !any) { any = ScriptLang.maskWordOf(cp, w) != 0L; w += 1 }
+      while (w < nw && !any) { any = row(base + w) != 0L; w += 1 }
       if (any) {
         // dedup by the full mask tuple: distinct-mask count per doc is tiny
         var j = 0
@@ -163,7 +167,7 @@ object Tokenizer {
           var eq = true
           var v = 0
           while (v < nw && eq) {
-            eq = scratch.words(j * nw + v) == ScriptLang.maskWordOf(cp, v)
+            eq = scratch.words(j * nw + v) == row(base + v)
             v += 1
           }
           if (eq) { scratch.cnt(j) += 1; found = true }
@@ -173,7 +177,7 @@ object Tokenizer {
           if (scratch.n < scratch.Cap) {
             var v = 0
             while (v < nw) {
-              scratch.words(scratch.n * nw + v) = ScriptLang.maskWordOf(cp, v)
+              scratch.words(scratch.n * nw + v) = row(base + v)
               v += 1
             }
             scratch.cnt(scratch.n) = 1
@@ -182,7 +186,7 @@ object Tokenizer {
             // scratch full (pathological mixed-script text): expand directly
             var v = 0
             while (v < nw) {
-              var m = ScriptLang.maskWordOf(cp, v)
+              var m = row(base + v)
               while (m != 0L) {
                 counts((v << 6) + java.lang.Long.numberOfTrailingZeros(m)) += 1
                 m &= m - 1

@@ -171,7 +171,7 @@ object FilterPipeline {
         lang = ScriptLang.code(best)
         // softmax relative prob (Detector owns the relativize edge cases)
         conf = det.confidenceOfInPlace(best)
-        val first = det.resultProb(0)
+        val first = det.topProb // results are unsorted; topProb is rank-1
         perplexity =
           if (first == Double.NegativeInfinity) Double.MaxValue
           else math.exp(-first)
