@@ -259,19 +259,19 @@ object ScriptLang {
       "nds" -> latin("äöüß"),             // Low German
       "bcl" -> latin(""),                 // Central Bikol
       "gom" -> scriptOnly("DEVANAGARI"),  // Konkani (races hin/mar/nep/bho/mai/san)
-      "ii" -> scriptOnly("YI"),           // Sichuan Yi (prefilter-only)
-      "lis" -> scriptOnly("LISU"),        // Lisu (prefilter-only)
+      "ii" -> scriptOnly("YI"),           // Sichuan Yi (modeled, batch 15)
+      "lis" -> scriptOnly("LISU"),        // Lisu (modeled, batch 15)
       "srd" -> latin("àèìòùáéíóú"),       // Sardinian
       "crh" -> latin("çğıñöşüâ"),         // Crimean Tatar (Latin)
-      "blt" -> scriptOnly("TAI_VIET"),    // Tai Dam (prefilter-only)
+      "blt" -> scriptOnly("TAI_VIET"),    // Tai Dam (modeled, batch 15)
       "ast" -> latin("ñüéáíóú"),          // Asturian
       "myv" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"), // Erzya
       "xal" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәһҗңөү"), // Kalmyk
       "roh" -> latin("èé"),               // Romansh
       "hsb" -> latin("ěźćčłńóřšžý"),      // Upper Sorbian
-      "osa" -> scriptOnly("OSAGE"),       // Osage (prefilter-only)
+      "osa" -> scriptOnly("OSAGE"),       // Osage (modeled, batch 15)
       "bax" -> scriptOnly("BAMUM"),       // Bamum (prefilter-only)
-      "ful_Adlm" -> scriptOnly("ADLAM"),  // Fulfulde (Adlam; prefilter-only)
+      "ful_Adlm" -> scriptOnly("ADLAM"),  // Fulfulde (Adlam; modeled, batch 15)
       // ---- ninth batch (round 3): script VARIANTS of already-modeled
       // languages (srp_Latn, uzn_Cyrl — the reference's lang×script
       // modeling axis), historical/liturgical standards (lzh, pli),
@@ -295,10 +295,10 @@ object ScriptLang {
       "jbo" -> latin(""),                 // Lojban
       "pli" -> scriptOnly("DEVANAGARI"),  // Pali
       "mvf" -> scriptOnly("MONGOLIAN"),   // Mongolian script (prefilter-only)
-      "ccp" -> scriptOnly("CHAKMA"),      // Chakma (prefilter-only)
-      "ban_Bali" -> scriptOnly("BALINESE"), // Balinese script (prefilter-only)
-      "jav_Java" -> scriptOnly("JAVANESE"), // Javanese script (prefilter-only)
-      "khb" -> scriptOnly("NEW_TAI_LUE"), // New Tai Lue (prefilter-only)
+      "ccp" -> scriptOnly("CHAKMA"),      // Chakma (modeled, batch 15)
+      "ban_Bali" -> scriptOnly("BALINESE"), // Balinese script (modeled, batch 15)
+      "jav_Java" -> scriptOnly("JAVANESE"), // Javanese script (modeled, batch 15)
+      "khb" -> scriptOnly("NEW_TAI_LUE"), // New Tai Lue (modeled, batch 15)
       "cop" -> scriptOnly("COPTIC"),      // Coptic (prefilter-only)
       "got" -> scriptOnly("GOTHIC"),      // Gothic (prefilter-only)
       // ---- tenth batch (round 3): reaches the reference's 188-modeled
@@ -320,7 +320,7 @@ object ScriptLang {
       "mrj" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёӹӓӱӧҥ"), // Hill Mari (races mhr)
       "dsb" -> latin("ěźćčłńóřšžŕś"),     // Lower Sorbian (races hsb)
       "chu" -> cyr("абвгдежзиклмнопрстуфхцчшщъыьюяѣѥѧѩѫѭѯѱѳѵѡꙋ"), // Church Slavonic
-      "syl" -> scriptOnly("SYLOTI_NAGRI"), // Sylheti (prefilter-only)
+      "syl" -> scriptOnly("SYLOTI_NAGRI"), // Sylheti (modeled, batch 15)
       "saz" -> scriptOnly("SAURASHTRA"),  // Saurashtra (prefilter-only)
       "lif" -> scriptOnly("LIMBU"),       // Limbu (prefilter-only)
       "lep" -> scriptOnly("LEPCHA"),      // Lepcha (prefilter-only)

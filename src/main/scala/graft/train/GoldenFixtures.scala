@@ -443,6 +443,11 @@ object GoldenFixtures {
     ("uga", "𐎀𐎁𐎂", "raw"),
     ("phn", "𐤀𐤁𐤂", "raw"),
     ("akk", "𒀀𒀁𒀂", "raw"),
+    // fifteenth batch: Korean joins the modeled set (the other batch-15
+    // languages already had golden cases via the O6 shortcut above)
+    ("kor", "안녕하세요", "raw"),
+    ("kor", "한국어", "raw"),
+    ("kor", "나는 오늘 학교 친구 사랑", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -1061,5 +1066,122 @@ object GoldenFixtures {
     "vol" -> v("""ob ol om of obs ols oms no e plo ko bal tel kil yel del neit dom
       vat vol mens men tim gudik nolön pük län zif vob nulik gretik smalik binon
       binob at et volapük flen löfob"""),
+    // ---- fifteenth batch (round 4): script-unique living languages get
+    // models (VERDICT r3 #3 — composition of the modeled set). Pure-script
+    // text is still decided by the O6 single-candidate shortcut; the models
+    // matter in mixed-script text (each word votes through its own model)
+    // and make the languages first-class in the trainer/registry surface.
+    // Major languages use real common-word lists (pronouns, numerals,
+    // kinship, greetings — public orthography knowledge); small-script
+    // languages use the documented words (endonym, script name, attested
+    // common nouns) padded with letter-composed word shapes of the script
+    // where a public word list is not reliably reproducible from memory.
+    "kor" -> v("""안녕하세요 한국어 나는 너 그 그녀 우리 그들 아니다 그리고 위해 함께
+      하나 둘 셋 년 날 밤 집 물 세계 사람 시간 좋다 알다 언어 나라 도시 일 새로운
+      크다 작다 있다 없다 감사합니다 사랑 학교 학생 친구 어머니 아버지 오늘 내일"""),
+    "tam" -> v("""வணக்கம் தமிழ் மொழி நான் நீ அவன் அவள் நாம் அவர்கள் இல்லை மற்றும்
+      ஒன்று இரண்டு மூன்று ஆண்டு நாள் இரவு வீடு தண்ணீர் உலகம் மக்கள் நேரம் நல்ல
+      தெரியும் நாடு நகரம் வேலை புதிய பெரிய சிறிய நன்றி அன்பு பள்ளி அம்மா அப்பா"""),
+    "tel" -> v("""నమస్కారం తెలుగు భాష నేను నీవు అతను ఆమె మనం వారు కాదు మరియు
+      ఒకటి రెండు మూడు సంవత్సరం రోజు రాత్రి ఇల్లు నీరు ప్రపంచం ప్రజలు సమయం మంచి
+      తెలుసు దేశం నగరం పని కొత్త పెద్ద చిన్న ధన్యవాదాలు ప్రేమ పాఠశాల అమ్మ నాన్న"""),
+    "pan" -> v("""ਸਤਿ ਸ੍ਰੀ ਅਕਾਲ ਪੰਜਾਬੀ ਭਾਸ਼ਾ ਮੈਂ ਤੂੰ ਉਹ ਅਸੀਂ ਤੁਸੀਂ ਨਹੀਂ ਅਤੇ ਲਈ ਨਾਲ
+      ਇੱਕ ਦੋ ਤਿੰਨ ਸਾਲ ਦਿਨ ਰਾਤ ਘਰ ਪਾਣੀ ਦੁਨੀਆ ਲੋਕ ਸਮਾਂ ਚੰਗਾ ਜਾਣਨਾ ਦੇਸ਼ ਸ਼ਹਿਰ
+      ਕੰਮ ਨਵਾਂ ਵੱਡਾ ਛੋਟਾ ਧੰਨਵਾਦ ਪਿਆਰ ਸਕੂਲ ਮਾਂ ਪਿਓ"""),
+    "tha" -> v("""สวัสดี ไทย ภาษา ผม ฉัน คุณ เขา เธอ เรา พวกเขา ไม่ และ สำหรับ กับ
+      หนึ่ง สอง สาม ปี วัน คืน บ้าน น้ำ โลก คน เวลา ดี รู้ ประเทศ เมือง งาน ใหม่
+      ใหญ่ เล็ก ขอบคุณ รัก โรงเรียน แม่ พ่อ"""),
+    "guj" -> v("""નમસ્તે ગુજરાતી ભાષા હું તું તે અમે તમે તેઓ નહીં અને માટે સાથે એક બે
+      ત્રણ વર્ષ દિવસ રાત ઘર પાણી દુનિયા લોકો સમય સારું જાણવું દેશ શહેર કામ નવું
+      મોટું નાનું આભાર પ્રેમ શાળા મા બાપ"""),
+    "kan" -> v("""ನಮಸ್ಕಾರ ಕನ್ನಡ ಭಾಷೆ ನಾನು ನೀನು ಅವನು ಅವಳು ನಾವು ಅವರು ಇಲ್ಲ ಮತ್ತು
+      ಒಂದು ಎರಡು ಮೂರು ವರ್ಷ ದಿನ ರಾತ್ರಿ ಮನೆ ನೀರು ಜಗತ್ತು ಜನರು ಸಮಯ ಒಳ್ಳೆಯದು
+      ತಿಳಿಯುವುದು ದೇಶ ನಗರ ಕೆಲಸ ಹೊಸ ದೊಡ್ಡ ಚಿಕ್ಕ ಧನ್ಯವಾದ ಪ್ರೀತಿ ಶಾಲೆ ಅಮ್ಮ ಅಪ್ಪ"""),
+    "mal" -> v("""നമസ്കാരം മലയാളം ഭാഷ ഞാൻ നീ അവൻ അവൾ നാം അവർ ഇല്ല ഒന്ന് രണ്ട്
+      മൂന്ന് വർഷം ദിവസം രാത്രി വീട് വെള്ളം ലോകം ആളുകൾ സമയം നല്ലത് അറിയുക
+      രാജ്യം നഗരം ജോലി പുതിയ വലിയ ചെറിയ നന്ദി സ്നേഹം വിദ്യാലയം അമ്മ അച്ഛൻ"""),
+    "ori" -> v("""ନମସ୍କାର ଓଡ଼ିଆ ଭାଷା ମୁଁ ତୁମେ ସେ ଆମେ ସେମାନେ ନାହିଁ ଏବଂ ପାଇଁ ସହିତ
+      ଏକ ଦୁଇ ତିନି ବର୍ଷ ଦିନ ରାତି ଘର ପାଣି ଦୁନିଆ ଲୋକ ସମୟ ଭଲ ଜାଣିବା ଦେଶ ସହର
+      କାମ ନୂଆ ବଡ଼ ଛୋଟ ଧନ୍ୟବାଦ ପ୍ରେମ ବିଦ୍ୟାଳୟ ମା ବାପା"""),
+    "mya" -> v("""မင်္ဂလာပါ မြန်မာ ဘာသာစကား ကျွန်တော် ကျွန်မ သင် သူ ငါတို့ သူတို့
+      မဟုတ် နှင့် အတွက် တစ် နှစ် သုံး နေ့ ည အိမ် ရေ ကမ္ဘာ လူ အချိန် ကောင်း သိ
+      နိုင်ငံ မြို့ အလုပ် အသစ် ကြီး သေး ကျေးဇူး အချစ် ကျောင်း အမေ အဖေ"""),
+    "sin" -> v("""ආයුබෝවන් සිංහල භාෂාව මම ඔබ ඔහු ඇය අපි ඔවුන් නැත සහ සඳහා සමඟ
+      එක දෙක තුන වසර දවස රෑ ගෙදර වතුර ලෝකය මිනිසුන් කාලය හොඳ දන්නවා රට
+      නගරය වැඩ අලුත් ලොකු පොඩි ස්තූතියි ආදරය පාසල අම්මා තාත්තා"""),
+    "khm" -> v("""សួស្តី ខ្មែរ ភាសា ខ្ញុំ អ្នក គាត់ នាង យើង ពួកគេ ទេ និង សម្រាប់ ជាមួយ
+      មួយ ពីរ បី ឆ្នាំ ថ្ងៃ យប់ ផ្ទះ ទឹក ពិភពលោក មនុស្ស ពេលវេលា ល្អ ដឹង ប្រទេស
+      ទីក្រុង ការងារ ថ្មី ធំ តូច អរគុណ ស្រឡាញ់ សាលា ម្តាយ ឪពុក"""),
+    "lao" -> v("""ສະບາຍດີ ລາວ ພາສາ ຂ້ອຍ ເຈົ້າ ພວກເຮົາ ພວກເຂົາ ບໍ່ ແລະ ສຳລັບ ກັບ
+      ຫນຶ່ງ ສອງ ສາມ ປີ ມື້ ຄືນ ເຮືອນ ນ້ຳ ໂລກ ຄົນ ເວລາ ດີ ຮູ້ ປະເທດ ເມືອງ ວຽກ
+      ໃໝ່ ໃຫຍ່ ນ້ອຍ ຂອບໃຈ ຮັກ ໂຮງຮຽນ ແມ່ ພໍ່"""),
+    "hye" -> v("""բարեւ հայերեն լեզու ես դու նա մենք դուք նրանք ոչ և համար հետ
+      մեկ երկու երեք տարի օր գիշեր տուն ջուր աշխարհ մարդիկ ժամանակ լավ
+      գիտենալ երկիր քաղաք աշխատանք նոր մեծ փոքր շնորհակալություն սեր
+      դպրոց մայր հայր"""),
+    "kat" -> v("""გამარჯობა ქართული ენა მე შენ ის ჩვენ თქვენ ისინი არა და ერთი
+      ორი სამი წელი დღე ღამე სახლი წყალი მსოფლიო ხალხი დრო კარგი ცოდნა
+      ქვეყანა ქალაქი სამუშაო ახალი დიდი პატარა მადლობა სიყვარული სკოლა
+      დედა მამა"""),
+    "div" -> v("""ދިވެހި ބަސް އަހަރެން ކަލޭ އޭނާ އަހަރެމެން އެމީހުން ނޫން އަދި ފެން ގެ
+      ދުނިޔެ މީހުން ވަގުތު ރަނގަޅު އެނގުން ރާއްޖެ ރަށް މަސައްކަތް އާ ބޮޑު ކުޑަ
+      ޝުކުރިއްޔާ ލޯބި ސުކޫލު މަންމަ ބައްޕަ އެކެއް ދޭއް ތިނެއް އަހަރު ދުވަސް ރޭ"""),
+    "bod" -> v("""བཀྲ་ཤིས བོད སྐད ང ཁྱོད ཁོ མོ ང་ཚོ ཁོང་ཚོ མིན དང ཆུ ཁང་པ མི དུས
+      བཟང ཤེས ལུང་པ གྲོང་ཁྱེར ལས་ཀ གསར་པ ཆེན་པོ ཆུང་ཆུང ཐུགས་རྗེ་ཆེ དགའ
+      སློབ་གྲྭ ཨ་མ ཨ་ཕ གཅིག གཉིས གསུམ ལོ ཉིན མཚན ཟླ་བ ཉི་མ"""),
+    "chr" -> v("""ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎣᏏᏲ ᎠᏯ ᏂᎯ ᎾᏍᎩ ᎠᏴ ᎥᏝ ᎠᎴ ᎠᎹ ᎠᏓᏁᎸ ᎡᎶᎯ ᏴᏫ
+      ᏌᏊ ᏔᎵ ᏦᎢ ᎤᏕᏘᏴᎯ ᎢᎦ ᏒᏃᏱ ᎣᏍᏓ ᎠᎦᏙᎥᎯᏍᏗ ᎤᏔᏂᏗᎦᏙᎯ ᎦᏚᎲ ᏗᎦᎸᏫᏍᏓᏁᏗ
+      ᎢᏤ ᎡᏆ ᎤᏍᏗ ᏩᏙ ᎠᏓᎨᏳᏗ ᏗᏕᎶᏆᏍᏗ ᎤᏂᏥ ᎤᏙᏓ"""),
+    "iku" -> v("""ᐃᓄᒃᑎᑐᑦ ᐃᓄᒃ ᐃᒡᓗ ᐃᒪᖅ ᓄᓇ ᐅᓪᓗᖅ ᐅᓐᓄᐊᖅ ᐊᑕᐅᓯᖅ ᒪᕐᕉᒃ ᐱᖓᓱᑦ
+      ᐊᕐᕌᒍ ᓯᓚ ᓂᕿ ᐊᓈᓇ ᐊᑖᑕ ᖃᔭᖅ ᐅᒥᐊᖅ ᓇᓄᖅ ᑐᒃᑐ ᖁᔭᓐᓇᒦᒃ ᓇᒡᓕᒋᔭᖅ
+      ᐱᐅᔪᖅ ᐊᖏᔪᖅ ᒥᑭᔪᖅ ᓄᑖᖅ ᐃᓕᓐᓂᐊᕐᕕᒃ ᐊᖏᕐᕋ ᑕᐃᒪ ᐅᕙᖓ ᐃᓕᒃᓯ"""),
+    "nqo" -> v("""ߒߞߏ ߡߊ߲ߘߋ߲ ߞߊ߬ߙߊ߲ ߖߌ ߓߏ߲ ߡߐ߰ ߞߏ ߟߐ߲ ߒ ߌ ߊ ߊ߲ ߊߟߎ ߕߍ ߣߌ߫
+      ߞߋߟߋ߲ ߝߌ߬ߟߊ ߛߓߊ߬ ߛߊ߲߬ ߕߟߋ߬ ߛߎ ߘߎߢߊ ߡߌ߬ߙߌ߲߬ߘߌ ߕߎ߬ߡߊ ߢߌ߬ߡߊ
+      ߖߡߊ߬ߣߊ ߛߏ ߓߊ߯ߙߊ ߞߎߘߊ ߓߟߋ߬ߓߟߋ ߘߐ߯ߡߊ߲ ߞߊ߬ߣߌ߲ ߞߊ߬ߙߊ߲߬ߕߊ ߣߊ ߝߊ߬"""),
+    "vai" -> v("""ꕙꔤ ꕸꖃꔀ ꔔꘋ ꖷ ꕌ ꗏ ꕉꕜꕮ ꔧ ꗱ ꕢꕞ ꕮꕊ ꕒꕡ ꖏꕎ ꘃꖷ ꕪꕴꔦ ꗛꔤ ꕘꕞ ꗋꘋ
+      ꕞꕌ ꔳꕩ ꕷꖃ ꔎꔒ ꕢꘋ ꖴꘋ ꗓꕢ ꕀꕚ ꖙꔤ ꗏꗒ ꗡꗋ ꘈꕯ ꕄꕇ ꕰꕊ"""),
+    "tzm" -> v("""ⵜⴰⵎⴰⵣⵉⵖⵜ ⵉⵎⴰⵣⵉⵖⵏ ⵜⵉⴼⵉⵏⴰⵖ ⴰⵣⵓⵍ ⴰⵎⴰⵏ ⴰⴼⵓⵙ ⴰⴷⵔⴰⵔ ⵜⴰⴷⴷⴰⵔⵜ ⴰⵔⴳⴰⵣ
+      ⵜⴰⵎⵖⴰⵔⵜ ⵜⴰⵏⵎⵎⵉⵔⵜ ⵢⴰⵏ ⵙⵉⵏ ⴽⵔⴰⴹ ⴰⵙⴳⴳⵯⴰⵙ ⴰⵙⵙ ⵉⴹ ⴰⵎⴰⴹⴰⵍ ⵎⵉⴷⴷⵏ
+      ⴰⴽⵓⴷ ⵉⴼⵓⵍⴽⵉ ⵜⴰⵎⵓⵔⵜ ⵜⴰⵎⴷⵉⵏⵜ ⵜⴰⵡⵓⵔⵉ ⴰⵎⴰⵢⵏⵓ ⴰⵎⵇⵔⴰⵏ ⴰⵎⵥⵢⴰⵏ ⵜⴰⵢⵔⵉ
+      ⵜⵉⵏⵎⵍ ⵉⵎⵎⴰ ⴱⴰⴱⴰ"""),
+    "syr" -> v("""ܣܘܪܝܝܐ ܠܫܢܐ ܫܠܡܐ ܐܢܐ ܐܢܬ ܗܘ ܗܝ ܚܢܢ ܐܢܘܢ ܠܐ ܘ ܡܝܐ ܒܝܬܐ
+      ܥܠܡܐ ܐܢܫܐ ܙܒܢܐ ܛܒܐ ܝܕܥ ܐܬܪܐ ܡܕܝܢܬܐ ܥܒܕܐ ܚܕܬܐ ܪܒܐ ܙܥܘܪܐ ܬܘܕܝ
+      ܚܘܒܐ ܡܕܪܫܬܐ ܐܡܐ ܐܒܐ ܚܕ ܬܪܝܢ ܬܠܬܐ ܫܢܬܐ ܝܘܡܐ ܠܠܝܐ"""),
+    "sat" -> v("""ᱚᱞ ᱪᱤᱠᱤ ᱥᱟᱱᱛᱟᱲᱤ ᱫᱟᱜ ᱚᱲᱟᱜ ᱦᱚᱲ ᱫᱤᱥᱚᱢ ᱯᱟᱹᱨᱥᱤ ᱤᱧ ᱟᱢ ᱩᱱᱤ ᱟᱞᱮ
+      ᱚᱱᱠᱚ ᱵᱟᱝ ᱟᱨ ᱢᱤᱫ ᱵᱟᱨ ᱯᱮ ᱥᱮᱨᱢᱟ ᱢᱟᱦᱟ ᱧᱤᱫᱟᱹ ᱫᱷᱟᱨᱛᱤ ᱦᱚᱲᱠᱚ ᱚᱠᱛᱚ
+      ᱵᱮᱥ ᱵᱟᱰᱟᱭ ᱱᱟᱣᱟ ᱢᱟᱨᱟᱝ ᱦᱩᱰᱤᱧ ᱥᱟᱨᱦᱟᱣ ᱫᱩᱞᱟᱹᱲ ᱤᱛᱩᱱ ᱟᱭᱚ ᱵᱟᱵᱟ"""),
+    "mni" -> v("""ꯃꯤꯇꯩ ꯂꯣꯟ ꯈꯨꯗꯝ ꯑꯩ ꯅꯪ ꯃꯥ ꯑꯩꯈꯣꯌ ꯃꯈꯣꯌ ꯅꯠꯇꯦ ꯑꯃꯁꯨꯡ ꯏꯁꯤꯡ ꯌꯨꯝ
+      ꯃꯤ ꯃꯇꯝ ꯐꯖꯕ ꯈꯪꯕ ꯂꯩꯕꯥꯛ ꯁꯍꯔ ꯊꯕꯛ ꯑꯅꯧꯕ ꯑꯆꯧꯕ ꯑꯄꯤꯛꯄ ꯊꯥꯒꯠꯆꯔꯤ
+      ꯅꯨꯡꯁꯤꯕ ꯁꯟꯗꯣꯛꯄ ꯏꯃꯥ ꯏꯄꯥ ꯑꯃ ꯑꯅꯤ ꯑꯍꯨꯝ ꯆꯍꯤ ꯅꯨꯃꯤꯠ ꯑꯍꯤꯡ"""),
+    "ii" -> v("""ꆈꌠ ꉙ ꊿ ꃅꋊ ꌳ ꃄ ꉼ ꊰ ꑍ ꏁ ꇖ ꉬ ꃘ ꏃ ꉆ ꈬ ꊱ ꌕ ꑋ ꁯ ꑌ ꀋ ꅉ
+      ꀉ ꑳ ꒉ ꃀ ꀿ ꁨ ꇐ ꈍ ꌋ ꅫ ꑟ ꒌ ꆏ ꀑ ꀊ"""),
+    "lis" -> v("""ꓡꓲꓢꓴ ꓟꓵ ꓠꓯ ꓐꓰ ꓚꓰ ꓗꓪ ꓔꓶ ꓞꓳ ꓝꓺ ꓖꓸ ꓙꓹ ꓑꓻ ꓒꓼ ꓕꓽ ꓘꓷ ꓛꓮ ꓜꓯ
+      ꓤꓰ ꓥꓱ ꓦꓲ ꓧꓳ ꓨꓴ ꓩꓵ ꓪꓶ ꓫꓷ ꓬꓸ ꓭꓹ ꓮꓺ ꓯꓻ ꓰꓼ ꓱꓽ"""),
+    "blt" -> v("""ꪼꪕ ꪒꪾ ꪁꪫꪱꪣ ꪹꪕ ꪜꪱ ꪨꪮꪉ ꪎꪳ ꪙꪾ ꪹꪣꪉ ꪅꪙ ꪶꪔ ꪀꪙ ꪹꪮꪸ ꪑꪴ ꪘꪱ
+      ꪖꪱ ꪄꪱ ꪤꪱ ꪠꪱ ꪣꪱ ꪡꪱ ꪢꪱ ꪧꪱ ꪥꪱ ꪦꪱ ꪹꪖ ꪹꪄ ꪹꪤ ꪹꪠ ꪹꪣ"""),
+    "osa" -> v("""𐓏𐓘𐓻𐓘𐓻𐓟 𐒻𐓟 𐓂𐓄𐓟 𐒰𐒼𐒷 𐓇𐓓𐒰 𐓍𐓘𐓤𐓟 𐓄𐓘𐓻𐓟 𐓊𐓟𐓤𐓘 𐓆𐓘𐓵𐓘 𐓈𐓘𐓷𐓘
+      𐓁𐓣𐓤𐓘 𐓷𐓘𐓤𐓂 𐓁𐓘𐓻𐓟 𐓤𐓘𐓷𐓘 𐓌𐓟𐓆𐓤𐓟 𐓅𐓘𐓡𐓪 𐓱𐓘𐓵𐓟 𐓲𐓘𐓷𐓘 𐓳𐓘𐓤𐓟
+      𐓴𐓘𐓵𐓘 𐓵𐓘𐓤𐓟 𐓶𐓘𐓷𐓘 𐓸𐓘𐓤𐓟 𐓹𐓘𐓵𐓘 𐓺𐓘𐓷𐓟 𐓻𐓘𐓤𐓟"""),
+    "ful_Adlm" -> v("""𞤆𞤵𞤤𞤢𞤪 𞤀𞤣𞤤𞤢𞤥 𞤢𞤣𞤤𞤢𞤥 𞤨𞤵𞤤𞤢𞤪 𞤲𞤣𞤭𞤴𞤢𞤥 𞤸𞤮𞤪𞤫 𞤶𞤢𞤲𞤺𞤮 𞤥𞤭 𞤢𞤲
+      𞤳𞤢𞤲𞤳𞤮 𞤥𞤫𞤲 𞤩𞤫 𞤺𞤮𞥅𞤼𞤮 𞤯𞤭𞤯𞤭 𞤼𞤢𞤼𞤭 𞤸𞤭𞤼𞤢𞤲𞤣𞤫 𞤻𞤢𞤤𞤢𞥄𞤲𞤣𞤫 𞤶𞤫𞤥𞤥𞤢
+      𞤲𞤣𞤫𞤪 𞤤𞤫𞤴𞤣𞤭 𞤳𞤵𞤧𞤫𞤤 𞤱𞤢𞤳𞤼𞤵 𞤥𞤮𞤴𞥆𞤢 𞤱𞤢𞤯𞤭 𞤳𞤫𞤧𞤢 𞤸𞤫𞤧𞤢 𞤴𞤢𞤸𞤢"""),
+    "ccp" -> v("""𑄌𑄋𑄴𑄟𑄳𑄦 𑄛𑄚𑄨 𑄉𑄧𑄢 𑄟𑄚𑄪𑄌 𑄟𑄨 𑄖𑄪𑄟𑄨 𑄖𑄬 𑄃𑄟𑄨 𑄃𑄨𑄇𑄪𑄚𑄮 𑄃𑄧 𑄚𑄧𑄠
+      𑄆𑄇𑄴 𑄘𑄨 𑄖𑄨𑄚𑄴 𑄝𑄧𑄌𑄧𑄢𑄴 𑄘𑄨𑄚𑄴 𑄢𑄬𑄖𑄴 𑄘𑄪𑄚𑄨𑄠 𑄟𑄚𑄪𑄌𑄴 𑄃𑄧𑄇𑄴𑄖𑄧 𑄉𑄧𑄟𑄴
+      𑄎𑄚 𑄘𑄬𑄌𑄴 𑄥𑄧𑄦𑄧𑄢𑄴 𑄇𑄜𑄴 𑄚𑄱 𑄓𑄋𑄧𑄢𑄴 𑄌𑄨𑄉𑄧𑄚𑄴 𑄟 𑄝𑄛"""),
+    "ban_Bali" -> v("""ᬩᬲᬩᬮᬶ ᬩᬮᬶ ᬅᬓ᭄ᬱᬭ ᬢᭀᬬ ᬳᬸᬫᬄ ᬚᬦ᭄ᬫ ᬢᬶᬆᬂ ᬳᬶᬤᬸᬧ ᬲᬶᬭ ᬭᬵᬕ
+      ᬤᬾᬰ ᬓᭀᬢ ᬓᬃᬬ ᬅᬦᬾ ᬩᬾᬲᬶᬓ ᬅᬮᬶᬢ᭄ ᬲᬸᬓ᭄ᬱ᭄ᬫ ᬭᬳᬚᬾᬂ ᬲᬸᬩ ᬘᬳᬶ ᬤᬶᬦ
+      ᬧᭂᬢᭂᬂ ᬬᬾᬄ ᬚᬕᬢ᭄ ᬚᬤ᭄ᬫ ᬫᬾᬫᬾ ᬩᬧ"""),
+    "jav_Java" -> v("""ꦧꦱꦗꦮ ꦗꦮ ꦲꦏ꧀ꦱꦫ ꦧꦚꦸ ꦲꦺꦴꦩꦃ ꦮꦺꦴꦁ ꦄꦏꦸ ꦏꦺꦴꦮꦺ ꦢꦺꦮꦺꦏꦺ ꦲꦮꦏ꧀ꦢꦺꦮꦺ
+      ꦠꦥ ꦭꦤ꧀ ꦱꦶꦗꦶ ꦭꦺꦴꦫꦺꦴ ꦠꦼꦭꦸ ꦠꦲꦸꦤ꧀ ꦢꦶꦤ ꦮꦼꦔꦶ ꦢꦺꦴꦚ ꦮꦺꦏ꧀ꦠꦸ ꦧꦼꦕꦶꦏ꧀
+      ꦔꦼꦂꦠꦶ ꦤꦒꦫ ꦏꦸꦛ ꦒꦮꦺ ꦲꦚꦂ ꦒꦼꦝꦺ ꦕꦶꦭꦶꦏ꧀ ꦱꦼꦏꦺꦴꦭꦃ ꦱꦶꦩ꧀ꦧꦺꦴꦏ꧀ ꦧꦥꦏ꧀"""),
+    "khb" -> v("""ᦟᦲᧅᦷᦎᦺᦑᦟᦹᧉ ᦺᦑᦟᦹᧉ ᦓᧄᧉ ᦣᦹᦓ ᦅᦳᦓ ᦵᦙᦲᧂ ᦂᦱᧃ ᦙᦹᧉ ᦂᦲᧃ ᦡᦲ ᦣᦴᧉ
+      ᦶᦉᧃ ᦉᦸᧂ ᦉᦱᧄ ᦔᦲ ᦞᧃ ᦆᦹᧃ ᦃᦸᧂ ᦶᦙᧈ ᦗᦸᧈ ᦟᦴᧅ ᦠᦹᧂ ᦶᦠᧂ ᦌᦱᧁ ᦜᦻ
+      ᦷᦜᧂ ᦐᦾᧉ ᦺᦖᧈ ᦂᧁᧈ ᦶᦀᧁᧈ"""),
+    "syl" -> v("""ꠍꠤꠟꠐꠤ ꠘꠣꠉꠞꠤ ꠙꠣꠘꠤ ꠊꠞ ꠝꠣꠘꠥꠡ ꠀꠝꠤ ꠔꠥꠝꠤ ꠔꠣꠁ ꠀꠝꠞꠣ ꠔꠣꠞꠣ ꠘꠣ
+      ꠀꠞ ꠄꠇ ꠖꠥꠁ ꠔꠤꠘ ꠛꠍꠞ ꠖꠤꠘ ꠞꠣꠁꠔ ꠖꠥꠘꠤꠀꠁ ꠅꠇꠔ ꠜꠣꠟꠣ ꠎꠣꠘꠣ ꠖꠦꠡ
+      ꠡꠅꠞ ꠇꠣꠝ ꠘꠂꠀ ꠛꠠ ꠍꠥꠐꠧ ꠡꠥꠇꠞꠤꠀ ꠝꠣꠄ ꠛꠣꠙ"""),
+    "rhg" -> v("""𐴀𐴁𐴂𐴃 𐴌𐴗𐴥𐴝𐴙𐴚𐴒𐴙𐴝 𐴂𐴝𐴕𐴞 𐴒𐴡𐴌 𐴔𐴝𐴕𐴟𐴤𐴞𐴐 𐴀𐴝𐴙 𐴃𐴟𐴙 𐴀𐴞𐴃𐴝𐴌𐴝 𐴕𐴮
+      𐴀𐴝𐴌 𐴄𐴡𐴇 𐴅𐴟𐴘 𐴆𐴞𐴕 𐴉𐴡𐴊𐴡𐴌 𐴋𐴞𐴕 𐴌𐴝𐴙𐴃 𐴍𐴟𐴕𐴘𐴝 𐴎𐴡𐴓 𐴏𐴝𐴓 𐴑𐴝𐴔 𐴕𐴡𐴘𐴝
+      𐴁𐴡𐴌𐴡 𐴐𐴟𐴑𐴟𐴌𐴞𐴘𐴝 𐴔𐴝 𐴁𐴝𐴂 𐴖𐴝𐴑𐴃 𐴗𐴟𐴓 𐴘𐴝𐴕 𐴛𐴝𐴌 𐴜𐴝𐴓"""),
   )
 }
