@@ -57,27 +57,9 @@ object ModelIO {
     */
   def packDistributed(spark: SparkSession, rows: DataFrame): PackedModel = {
     import spark.implicits._
-    val hashed = rows
-      .as[(String, Int, String, Double)]
-      .map { case (lang, size, ngram, prob) =>
-        (size, graft.lang.NgramHash.ofString(ngram), ScriptLang.id(lang), prob, ngram)
-      }
-      .toDF("gsize", "hash", "lang_id", "prob", "ngram")
-
-    // postings per (size, hash), langId-sorted (array_sort on the struct
-    // orders by lang_id first); countDistinct(ngram) ≠ 1 ⇔ hash collision
-    val postings = hashed
-      .groupBy($"gsize", $"hash")
-      .agg(
-        countDistinct($"ngram").as("n_distinct"),
-        array_sort(collect_list(struct($"lang_id", $"prob"))).as("posts"))
-
-    // per-size table dimensions for exact pre-allocation (tiny agg)
-    val dims = postings
-      .groupBy($"gsize")
-      .agg(count(lit(1)).as("n_keys"), sum(size($"posts")).as("n_posts"))
-      .as[(Int, Long, Long)].collect()
-      .map { case (s, k, p) => s -> ((k.toInt, p.toInt)) }.toMap
+    val hashed = hashedOf(spark, rows)
+    val postings = postingsOf(spark, hashed)
+    val dims = dimsOf(spark, postings)
 
     def builderFor(s: Int) = {
       val (k, p) = dims.getOrElse(s, (0, 0))
@@ -96,7 +78,69 @@ object ModelIO {
       builders(s).add(h, posts.map(_._1), posts.map(_._2))
     }
 
-    // small per-language aggregates: floors, wordgram floor, stopwords
+    val m = metaOf(spark, hashed)
+
+    new PackedModel(
+      nLangs = m.nLangs,
+      charFloors = m.charFloors,
+      wordgramFloor = m.wordgramFloor,
+      charTables = Array.tabulate(5)(s => builders(s + 1).result()),
+      wordTable = builders(0).result(),
+      modeledLangs = m.modeledLangs,
+      schemaHash = m.schemaHash,
+      stopwordHashes = m.stopwordHashes
+    )
+  }
+
+  /** (size, hash, lang_id, prob, ngram) rows — the shared front of both
+    * pack paths.
+    */
+  private def hashedOf(spark: SparkSession, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    rows
+      .as[(String, Int, String, Double)]
+      .map { case (lang, size, ngram, prob) =>
+        (size, graft.lang.NgramHash.ofString(ngram), ScriptLang.id(lang), prob, ngram)
+      }
+      .toDF("gsize", "hash", "lang_id", "prob", "ngram")
+  }
+
+  /** Postings per (size, hash), langId-sorted (array_sort on the struct
+    * orders by lang_id first); countDistinct(ngram) ≠ 1 ⇔ hash collision.
+    */
+  private def postingsOf(spark: SparkSession, hashed: DataFrame): DataFrame = {
+    import spark.implicits._
+    hashed
+      .groupBy($"gsize", $"hash")
+      .agg(
+        countDistinct($"ngram").as("n_distinct"),
+        array_sort(collect_list(struct($"lang_id", $"prob"))).as("posts"))
+  }
+
+  /** Per-size table dimensions for exact pre-allocation (tiny agg). */
+  private def dimsOf(spark: SparkSession, postings: DataFrame): Map[Int, (Int, Int)] = {
+    import spark.implicits._
+    postings
+      .groupBy($"gsize")
+      .agg(count(lit(1)).as("n_keys"), sum(size($"posts")).as("n_posts"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (s, k, p) => s -> ((k.toInt, p.toInt)) }.toMap
+  }
+
+  /** Everything in the runtime model that is not a ProbTable: per-language
+    * floors, wordgram floor, model-derived stopword sets, modeled-language
+    * list, schema hash. Small (O(registry) + stopwords).
+    */
+  final case class ModelMeta(
+      nLangs: Int,
+      charFloors: Array[Double],
+      wordgramFloor: Double,
+      modeledLangs: Array[Int],
+      schemaHash: Long,
+      stopwordHashes: Array[Array[Long]])
+
+  private def metaOf(spark: SparkSession, hashed: DataFrame): ModelMeta = {
+    import spark.implicits._
     val uniCounts = hashed.filter($"gsize" === 1)
       .groupBy($"lang_id").agg(count(lit(1)).as("n"))
       .as[(Int, Long)].collect()
@@ -121,17 +165,90 @@ object ModelIO {
       }
 
     val modeled = hashed.select($"lang_id").distinct().as[Int].collect().sorted
+    ModelMeta(n, floors, wordFloor, modeled, PackedModel.registryHash, stopwords)
+  }
 
-    new PackedModel(
-      nLangs = n,
-      charFloors = floors,
-      wordgramFloor = wordFloor,
-      charTables = Array.tabulate(5)(s => builders(s + 1).result()),
-      wordTable = builders(0).result(),
-      modeledLangs = modeled,
-      schemaHash = PackedModel.registryHash,
-      stopwordHashes = stopwords
+  /** Per-size-sharded broadcast of a packed model (ROADMAP item 5 /
+    * VERDICT r3 #7): ONE Spark broadcast per ProbTable (index 0 =
+    * wordgram, 1..5 = char n-gram size) plus one for the small meta, so
+    * no single broadcast block carries the whole model — each shard is
+    * bounded by the LARGEST TABLE, not the model sum, which is what the
+    * torrent distribution and the executor's block manager see at real
+    * (multi-GB, 188-language OpenLID-class) model scale. Executors
+    * reassemble a PackedModel VIEW lazily on first use; the view shares
+    * the shard arrays (no copy).
+    */
+  final class ShardedModel(
+      val meta: org.apache.spark.broadcast.Broadcast[ModelMeta],
+      val tables: Array[org.apache.spark.broadcast.Broadcast[graft.lang.ProbTable]])
+      extends Serializable {
+    @transient private lazy val assembled: PackedModel = {
+      val m = meta.value
+      new PackedModel(
+        nLangs = m.nLangs,
+        charFloors = m.charFloors,
+        wordgramFloor = m.wordgramFloor,
+        charTables = Array.tabulate(5)(s => tables(s + 1).value),
+        wordTable = tables(0).value,
+        modeledLangs = m.modeledLangs,
+        schemaHash = m.schemaHash,
+        stopwordHashes = m.stopwordHashes)
+    }
+    /** The assembled runtime model (lazy per JVM; shards fetched on demand). */
+    def model: PackedModel = assembled
+  }
+
+  /** Pack model rows and broadcast them per-size-sharded. The six table
+    * passes run SEQUENTIALLY: each streams its postings through
+    * `toLocalIterator` into a pre-sized builder, broadcasts the finished
+    * table, and releases the builder before the next size starts — the
+    * driver's transient assembly footprint is bounded by the largest
+    * single table (plus one in-flight partition), never the model sum.
+    * The shuffled postings are cached (memory-and-disk) across the six
+    * filtered passes so the groupBy shuffle runs once.
+    */
+  def packShardedBroadcast(spark: SparkSession, rows: DataFrame): ShardedModel = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val hashed = hashedOf(spark, rows).persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = postingsOf(spark, hashed).persist(StorageLevel.MEMORY_AND_DISK)
+    val dims = dimsOf(spark, postings)
+    val sc = spark.sparkContext
+
+    val tables = new Array[org.apache.spark.broadcast.Broadcast[graft.lang.ProbTable]](6)
+    var s = 0
+    while (s < 6) {
+      val (k, p) = dims.getOrElse(s, (0, 0))
+      val b = new graft.lang.ProbTable.Builder(k, p)
+      val it = postings.filter($"gsize" === s)
+        .select($"hash", $"n_distinct", $"posts")
+        .as[(Long, Long, Array[(Int, Double)])]
+        .toLocalIterator()
+      while (it.hasNext) {
+        val (h, nDistinct, posts) = it.next()
+        require(nDistinct == 1L, s"ngram hash collision on key $h (size $s)")
+        b.add(h, posts.map(_._1), posts.map(_._2))
+      }
+      tables(s) = sc.broadcast(b.result())
+      s += 1
+    }
+
+    val meta = sc.broadcast(metaOf(spark, hashed))
+    postings.unpersist()
+    hashed.unpersist()
+    new ShardedModel(meta, tables)
+  }
+
+  /** Load model rows from Parquet and broadcast per-size-sharded. */
+  def loadShardedBroadcast(spark: SparkSession, path: String): ShardedModel = {
+    import spark.implicits._
+    val df = spark.read.parquet(path)
+    val hashes = df.select($"schema_hash").distinct().as[Long].collect()
+    require(
+      hashes.forall(_ == PackedModel.registryHash),
+      s"model schema hash mismatch: ${hashes.mkString(",")} vs ${PackedModel.registryHash}"
     )
+    packShardedBroadcast(spark, df.select($"lang", $"size", $"ngram", $"logprob"))
   }
 
   /** Pack (lang, size∈{0..5}, ngram, logprob) rows; size 0 = wordgram. */

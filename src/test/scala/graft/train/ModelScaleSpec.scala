@@ -72,4 +72,64 @@ class ModelScaleSpec extends AnyFunSuite {
     assert(acc200 >= 0.9, s"top-200 accuracy $acc200 — prune curve collapsed")
     modelDf.unpersist()
   }
+
+  test("per-size sharded broadcast: shards bounded by one table, assembled model equals packDistributed") {
+    import spark.implicits._
+    // synthetic model at load-test scale: 5 languages × 6 sizes × 20k
+    // entries (120k distinct n-grams, 600k postings) generated
+    // distributed — the string/posting volume goes through the same
+    // shuffle + toLocalIterator path a multi-GB OpenLID-class model would
+    val langs = Vector("eng", "deu", "fra", "spa", "rus")
+    val perSize = 20000L
+    val rows = spark.range(0, langs.size * 6 * perSize).map { i =>
+      val li = (i / (6L * perSize)).toInt
+      val rem = i % (6L * perSize)
+      val s = (rem / perSize).toInt // 0 = wordgram, 1..5 = char sizes
+      val j = rem % perSize
+      (langs(li), s, s"sg${s}_$j", -1.0 - (j % 97) * 0.05 - li * 0.01)
+    }.toDF("lang", "size", "ngram", "logprob")
+
+    val sharded = ModelIO.packShardedBroadcast(spark, rows)
+    val direct = ModelIO.packDistributed(spark, rows)
+    val m = sharded.model
+    assert(m.entryCount == direct.entryCount)
+    assert(m.footprintBytes == direct.footprintBytes)
+    assert(m.modeledLangs.sameElements(direct.modeledLangs))
+    assert(m.charFloors.sameElements(direct.charFloors))
+    assert(m.wordgramFloor == direct.wordgramFloor)
+
+    // posting-level equality on a deterministic probe sample
+    for (s <- 0 to 5; j <- 0 until 50) {
+      val key = graft.lang.NgramHash.ofString(s"sg${s}_$j")
+      val (ta, tb) =
+        if (s == 0) (m.wordTable, direct.wordTable)
+        else (m.charTables(s - 1), direct.charTables(s - 1))
+      val ia = ta.find(key)
+      val ib = tb.find(key)
+      assert(ia >= 0 && ib >= 0, s"probe sg${s}_$j missing")
+      val pa = (0 until ta.lens(ia)).map(k =>
+        (ta.postLangs(ta.starts(ia) + k), ta.postProbs(ta.starts(ia) + k)))
+      val pb = (0 until tb.lens(ib)).map(k =>
+        (tb.postLangs(tb.starts(ib) + k), tb.postProbs(tb.starts(ib) + k)))
+      assert(pa == pb, s"postings differ for sg${s}_$j")
+    }
+
+    // shard bound: >= 2 non-empty shards and no single broadcast carries
+    // the whole table payload — the property that keeps broadcast blocks
+    // (and the driver's transient assembly) bounded by ONE table at real
+    // model scale
+    def payload(t: graft.lang.ProbTable): Long =
+      t.keys.length.toLong * 8 + t.postLangs.length.toLong * 2 +
+        t.postProbs.length.toLong * 4
+    val shardSizes = sharded.tables.map(b => payload(b.value))
+    assert(shardSizes.count(_ > 0) == 6)
+    assert(shardSizes.max < shardSizes.sum, s"one shard dominates: ${shardSizes.mkString(",")}")
+
+    // executor-side reassembly: the handle serializes into a task closure
+    // and lazily assembles the view from the shard broadcasts
+    val sh = sharded
+    val execCounts = spark.range(0, 8).repartition(4)
+      .mapPartitions(_ => Iterator.single(sh.model.entryCount)).collect()
+    assert(execCounts.forall(_ == direct.entryCount))
+  }
 }
