@@ -231,6 +231,34 @@ object BenchDecompose {
           if (bestC == bcBook.value.nearestFine(v)) 1L else 0L
         }.reduce(_ + _)
         println(f"DECOMP ivf_assign_agreement ${agree.toDouble / n}%.4f")
+
+        // codebook BUILD at k = 1e5 (VERDICT r3 #8): driver-local
+        // single-threaded cell assignment vs the Spark-job build. The
+        // distributed result must be bit-identical.
+        val kBig = 100000
+        val fineBig = Array.tabulate(kBig) { id =>
+          val v = new Array[Double](d)
+          var x = id.toLong * 0x9e3779b97f4a7c15L + 7
+          var i = 0
+          while (i < d) {
+            x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+            x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+            v(i) = ((x ^ (x >>> 31)).toDouble / Long.MaxValue)
+            i += 1
+          }
+          v
+        }
+        timed(s"ivf_build_local_k$kBig") {
+          Similarity.buildCodebook(fineBig, 4)
+        }
+        timed(s"ivf_build_distributed_k$kBig") {
+          Similarity.buildCodebookDistributed(spark, fineBig, 4)
+        }
+        val lb = Similarity.buildCodebook(fineBig, 4)
+        val db = Similarity.buildCodebookDistributed(spark, fineBig, 4)
+        val same = lb.cells.length == db.cells.length &&
+          lb.cells.indices.forall(c => lb.cells(c).sameElements(db.cells(c)))
+        println(s"DECOMP ivf_build_equal $same")
       case other => println(s"unknown mode $other")
     }
     spark.stop()

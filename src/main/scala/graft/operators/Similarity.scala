@@ -280,6 +280,45 @@ object Similarity {
     IvfCodebook(fine, coarse, cellBufs.map(_.toArray), wCells)
   }
 
+  /** Distributed codebook build (VERDICT r3 #8): the coarse-cell
+    * assignment of the k fine centroids — the O(k·√k) distance work that
+    * `buildCodebook` runs single-threaded on the driver — executes as a
+    * Spark job over the broadcast centroid arrays; the driver's own work
+    * is reduced to the O(k) regroup of the returned (fine → cell) pairs.
+    * Bit-identical to the local build (same nearestCells arithmetic, same
+    * fine-index order within each cell). Below `localThreshold` centroids
+    * the job overhead exceeds the scan and the local build is used.
+    */
+  private[graft] def buildCodebookDistributed(
+      spark: SparkSession,
+      fine: Array[Array[Double]],
+      wCells: Int,
+      localThreshold: Int = 4096): IvfCodebook = {
+    val k = fine.length
+    if (k < localThreshold) return buildCodebook(fine, wCells)
+    import spark.implicits._
+    val k2 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = Array.tabulate(k2)(i => fine((i.toLong * k / k2).toInt))
+    val bcFine = spark.sparkContext.broadcast(fine)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val assigns = spark.range(0, k.toLong).as[Long]
+      .mapPartitions { it =>
+        val flat = IvfCodebook(bcFine.value, bcCoarse.value, Array.empty, 1)
+        val fs = bcFine.value
+        it.map { f0 =>
+          val f = f0.toInt
+          (f, flat.nearestCells(fs(f), 1)(0))
+        }
+      }
+      .collect()
+    bcFine.unpersist(blocking = false)
+    bcCoarse.unpersist(blocking = false)
+    val cellBufs = Array.fill(k2)(new scala.collection.mutable.ArrayBuffer[Int]())
+    java.util.Arrays.sort(assigns, Ordering.by((p: (Int, Int)) => p._1))
+    assigns.foreach { case (f, c) => cellBufs(c) += f }
+    IvfCodebook(fine, coarse, cellBufs.map(_.toArray), wCells)
+  }
+
   /** IVF (inverted-file) ANN: deterministic seed centroids (lowest vec_ids)
     * → one distributed Lloyd refinement → inverted lists keyed by centroid
     * → queries probe the `nProbe` nearest lists only. At 100 TB the corpus
@@ -334,7 +373,7 @@ object Similarity {
     val init = emb.filter($"vec_id" < kCentroids)
       .as[(Long, Array[Double])].collect()
       .sortBy(_._1).map(_._2)
-    val bcInit = spark.sparkContext.broadcast(buildCodebook(init, wCells))
+    val bcInit = spark.sparkContext.broadcast(buildCodebookDistributed(spark, init, wCells))
 
     // one Lloyd step, distributed: two-level assign, then per-cid mean via
     // typed reduceGroups — partial (sum, count) buffers combine map-side,
@@ -355,7 +394,7 @@ object Similarity {
     // empty cells keep their seed centroid (deterministic, rank-stable)
     val fine = init.clone()
     refined.foreach { case (cid, c) => fine(cid) = c }
-    val bcBook = spark.sparkContext.broadcast(buildCodebook(fine, wCells))
+    val bcBook = spark.sparkContext.broadcast(buildCodebookDistributed(spark, fine, wCells))
 
     // inverted lists under the refined codebook
     val lists = emb.as[(Long, Array[Double])]
