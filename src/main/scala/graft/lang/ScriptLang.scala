@@ -397,11 +397,11 @@ object ScriptLang {
       "kir_Arab" -> scriptOnly("ARABIC"), // Kyrgyz (Arabic; Xinjiang)
       "uzn_Arab" -> scriptOnly("ARABIC"), // Uzbek (Arabic; Afghanistan)
       "aze_Arab" -> scriptOnly("ARABIC"), // Azerbaijani (Arabic; Iran)
-      "uig_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёғқңһөүҗ"), // Uyghur (Cyrillic)
+      "uig_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёғқңһөүҗә"), // Uyghur (Cyrillic)
       "aze_Cyrl" -> cyr("абвгдежзијклмнопрстуфхчшығәҝөүһҹ"), // Azerbaijani (Cyrillic)
       "tuk_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәҗңөүү"), // Turkmen (Cyrillic)
       "kmr_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәөһҗ"), // Kurmanji (Cyrillic)
-      "kaa_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәғқңөүһў"), // Karakalpak (Cyrillic)
+      "kaa_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяёәғқңөүһўҳ"), // Karakalpak (Cyrillic)
       "crh_Cyrl" -> cyr("абвгдежзийклмнопрстуфхцчшщъыьэюяё"), // Crimean Tatar (Cyrillic)
       "bos_Cyrl" -> cyr("абвгдђежзијклљмнњопрстћуфхцчџш"), // Bosnian (Cyrillic)
       "tat_Latn" -> latin("äçğıñöşü"),    // Tatar (Latin, Zamanälif)

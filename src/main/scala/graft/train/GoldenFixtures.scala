@@ -448,6 +448,24 @@ object GoldenFixtures {
     ("kor", "안녕하세요", "raw"),
     ("kor", "한국어", "raw"),
     ("kor", "나는 오늘 학교 친구 사랑", "raw"),
+    // sixteenth batch: shared-script variants, decided by MODEL RACE
+    // against their modeled same-script siblings (not the prefilter
+    // shortcut) — each case is a variant-unique word form
+    ("aze_Cyrl", "азәрбајҹан", "raw"),
+    ("tuk_Cyrl", "түркмен", "raw"),
+    ("kaa_Cyrl", "қарақалпақ", "raw"),
+    ("crh_Cyrl", "къырымтатар", "raw"),
+    ("bos_Cyrl", "чаршија", "raw"),
+    ("uig_Cyrl", "уйғур", "raw"),
+    ("tat_Latn", "keşelär", "raw"),
+    ("kas", "کٲشُر", "raw"),
+    ("kaz_Arab", "قازاق", "raw"),
+    ("uzn_Arab", "اۉزبېک", "raw"),
+    ("aze_Arab", "آذربایجان", "raw"),
+    ("snd_Deva", "सिन्धी", "raw"),
+    ("wuu", "覅", "raw"),
+    ("nan", "歹勢", "raw"),
+    ("hak", "𠊎", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -1183,5 +1201,62 @@ object GoldenFixtures {
     "rhg" -> v("""𐴀𐴁𐴂𐴃 𐴌𐴗𐴥𐴝𐴙𐴚𐴒𐴙𐴝 𐴂𐴝𐴕𐴞 𐴒𐴡𐴌 𐴔𐴝𐴕𐴟𐴤𐴞𐴐 𐴀𐴝𐴙 𐴃𐴟𐴙 𐴀𐴞𐴃𐴝𐴌𐴝 𐴕𐴮
       𐴀𐴝𐴌 𐴄𐴡𐴇 𐴅𐴟𐴘 𐴆𐴞𐴕 𐴉𐴡𐴊𐴡𐴌 𐴋𐴞𐴕 𐴌𐴝𐴙𐴃 𐴍𐴟𐴕𐴘𐴝 𐴎𐴡𐴓 𐴏𐴝𐴓 𐴑𐴝𐴔 𐴕𐴡𐴘𐴝
       𐴁𐴡𐴌𐴡 𐴐𐴟𐴑𐴟𐴌𐴞𐴘𐴝 𐴔𐴝 𐴁𐴝𐴂 𐴖𐴝𐴑𐴃 𐴗𐴟𐴓 𐴘𐴝𐴕 𐴛𐴝𐴌 𐴜𐴝𐴓"""),
+    // ---- sixteenth batch (round 4): shared-script variants get models —
+    // the remaining composition gap after batch 15 (ROADMAP gap #1).
+    // These RACE modeled same-script siblings, so each vocabulary leans
+    // on form-distinct words (the Hans/Hant lesson above): variant-unique
+    // letters (ҝ/ҹ/ј, ҳ/ў, ٲ/ؠ/ۄ, Devanagari implosives ॻॼॾॿ) and
+    // variant-unique word forms (ijekavian reflexes, Kipchak vs Oghuz vs
+    // Karluk morphology, Wu/Min/Hakka-specific characters) over the
+    // closed-class words the siblings share. kir_Arab and kmr_Cyrl stay
+    // prefilter-only (their everyday word forms coincide with kaz_Arab /
+    // the Cyrillic set too closely for a fixture-scale corpus to
+    // separate honestly).
+    "aze_Cyrl" -> v("""мән сән о биз сиз онлар дејил вә үчүн илә бир ики үч ил ҝүн
+      ҝеҹә ев су дүнја инсанлар вахт јахшы билмәк дил өлкә шәһәр иш јени бөјүк
+      кичик олмаг вар јох бу шу азәрбајҹан ана вәтән"""),
+    "tuk_Cyrl" -> v("""мен сен ол биз сиз олар дәл ве үчин билен бир ики үч йыл гүн
+      гиҗе өй сув дүнйә адамлар вагт говы билмек дил юрт шәхер иш тәзе улы кичи
+      болмак бар ёк бу шол түркмен эне ватан"""),
+    "kaa_Cyrl" -> v("""мен сен ол биз сиз олар емес ҳәм ушын менен бир еки үш жыл
+      күн түн үй суў дүнья адамлар ўақыт жақсы билиў тил ел қала жумыс жаңа үлкен
+      киши болыў бар жоқ бул сол қарақалпақ ана ўатан"""),
+    "crh_Cyrl" -> v("""мен сен о биз сиз олар дегиль ве ичюн иле бир эки учь йыл
+      кунь гедже эв сув дюнья инсанлар вакъыт яхшы бильмек ана тиль ватан халкъ
+      шеэр иш янъы буюк кичик бугунь ярын сагъол къырымтатар"""),
+    "bos_Cyrl" -> v("""босански седмица такођер махала чаршија мерхаба хефта зар
+      овдје гдје четири пет ја ти он она ми ви они не и за с на од један два три
+      година дан ноћ кућа вода свијет људи вријеме добро знати језик земља град
+      посао нов велик мален бити"""),
+    "uig_Cyrl" -> v("""мән сән у биз силәр улар әмәс вә үчүн билән бир икки үч жил
+      күн кечә өй су дуня кишиләр вақит яхши билиш тил дөләт шәһәр иш йеңи чоң
+      кичик болуш бар йоқ бу шу уйғур"""),
+    "tat_Latn" -> v("""min sin ul bez sez alar tügel häm öçen belän ber ike öç yıl
+      kön tön yort su dönya keşelär vaqıt yaxşı belü tel il şähär eş yaña zur
+      keçkenä bulu bar yuq bu şul cir tatar cavap"""),
+    "kas" -> v("""کٲشُر بہٕ توہیہ سہ اسؠ تم نہٕ تہٕ اکھ زٕ ترے وریہ دوہ راتھ گرٕ آب
+      لوکھ زانن کٔم بۆڈ لۆکُٹ ؤن گۄڈ پانہٕ کتھ باتھ وُچھن یور تور سۄن
+      نوش ماج مول"""),
+    "kaz_Arab" -> v("""قازاق مەن سەن ول بىز سەندەر ولار ەمەس جانە ٷشىن مەنەن بىر
+      ەكى ٷش جىل كٷن تٷن ٷي سۋ دٷنيە ادامدار ۋاقىت جاقسى بىلۋ تىل ەل قالا جۇمىس
+      جاڭا ٷلكەن كىشى بولۋ تاۋ دالا"""),
+    "uzn_Arab" -> v("""اۉزبېک من سن او بیز سیز اولر ایمس و اوچون بیلن بیر ایکی اوچ
+      ییل کون کېچه اوی سو اودملر یخشی بیلیش تیل اۉلکه ایش ینگی کتته کیچیک بۉلیش
+      بار یۉق بو شو تورت بېش"""),
+    "aze_Arab" -> v("""آذربایجان من سن او بیز سیز اونلار دئییل و اوچون ایله بیر
+      ایکی اوچ ایل گون گئجه ائو سو اینسانلار واخت یاخشی بیلمک دیل اؤلکه شهر ایش
+      یئنی بؤیوک کیچیک اولماق وار یوخ بو شو آنا وطن"""),
+    "snd_Deva" -> v("""सिन्धी आऊं तूं हू असीं तोहां उहे न लाइ सां हिकु ॿे टे साल
+      ॾींहं रात घरु पाणी दुनिया माणहू वक्तु सुठो ॼाणणु ॿोली मुलुकु शहरु कमु नओं
+      वॾो निंढो आहे ही उहो ॻोठ ॾिनु"""),
+    "wuu" -> v("""侬 阿拉 伊拉 勿 啥 搿 箇 覅 呒没 吃饭 白相 闲话 辰光 交关 晓得
+      欢喜 面孔 困觉 屋里 号头 礼拜 钞票 物事 蛮 灵 老 上海 做啥 哪能 个 垃拉
+      今朝 明朝 夜到 难为情"""),
+    "nan" -> v("""咱 汝 伊 阮 恁 毋 佮 囝 厝 遮 彼 啥物 食飯 臺語 閩南 代誌 歹勢
+      媠 逐家 攏 嘛 閣 咧 欲 袂 足 真 今仔日 明仔載 暗暝 透早 歡喜 了解 拍拚
+      蹛 佇"""),
+    "hak" -> v("""𠊎 佢 佢兜 吾 若 毋係 麼个 恁樣 恁仔 客家 屋下 阿姆 阿爸 食朝
+      食晝 食夜 睡目 做事 天時 熱頭 月光 禾埕 灶下 筷仔 細人 老人家 恬恬 遽遽
+      正經 還有 麼人 仰般"""),
   )
 }
