@@ -243,34 +243,42 @@ object Relational {
   def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
 
-    /** exact quantile_cont of `v` per `grp` at the named quantiles */
-    def quantileCont(v: String, qs: Seq[(String, Double)]): DataFrame = {
-      val grp = col("l_returnflag")
-      val vc = li.groupBy(grp, col(v).cast("double").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val wOrd = Window.partitionBy(grp).orderBy(col("v"))
-      val wAll = Window.partitionBy(grp)
-      val ranked = vc
-        .withColumn("cum", sum(col("cnt")).over(wOrd))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-      val aggs = qs.flatMap { case (name, q) =>
-        // 1-based continuous rank: pos = (n-1)*q + 1; the quantile sits
-        // between the values at ranks floor(pos) and ceil(pos)
-        val pos = (col("n") - 1) * lit(q)
-        val loRank = floor(pos) + 1
-        val hiRank = ceil(pos) + 1
-        val frac = pos - floor(pos)
-        val loVal = max(when(col("cum") - col("cnt") < loRank && col("cum") >= loRank, col("v")))
-        val hiVal = max(when(col("cum") - col("cnt") < hiRank && col("cum") >= hiRank, col("v")))
-        val fr = max(frac) // frac depends only on n: constant per group
-        Seq((loVal + (hiVal - loVal) * fr).as(name))
-      }
-      ranked.groupBy(grp).agg(aggs.head, aggs.tail: _*)
+    // Exact quantile_cont for BOTH measure columns in ONE pass: unpivot
+    // (tag, v) with stack (codegen'd, no shuffle), value-counts per
+    // (grp, tag, v), cumulative ranks per (grp, tag), then conditional
+    // interpolation aggregates — one scan + one value-count exchange +
+    // one window partitioning instead of two of each plus a join (the
+    // round-3 shape ran the whole machinery once per measure column).
+    val unp = li.select(
+      col("l_returnflag").as("g"),
+      expr("stack(2, 'price', cast(l_extendedprice as double), " +
+        "'qty', cast(l_quantity as double)) as (tag, v)"))
+    val vc = unp.groupBy(col("g"), col("tag"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("g"), col("tag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("g"), col("tag"))
+    val ranked = vc
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+
+    // 1-based continuous rank: pos = (n-1)*q + 1; the quantile sits
+    // between the values at ranks floor(pos) and ceil(pos)
+    def qAgg(tag: String, q: Double, name: String) = {
+      val isTag = col("tag") === lit(tag)
+      val pos = (col("n") - 1) * lit(q)
+      val loRank = floor(pos) + 1
+      val hiRank = ceil(pos) + 1
+      val loVal = max(when(isTag && col("cum") - col("cnt") < loRank && col("cum") >= loRank, col("v")))
+      val hiVal = max(when(isTag && col("cum") - col("cnt") < hiRank && col("cum") >= hiRank, col("v")))
+      val fr = max(when(isTag, pos - floor(pos))) // frac depends only on n: constant per (group, tag)
+      (loVal + (hiVal - loVal) * fr).as(name)
     }
 
-    val price = quantileCont("l_extendedprice", Seq("p50_raw" -> 0.5, "p95_raw" -> 0.95))
-    val qty = quantileCont("l_quantity", Seq("qty_p25_raw" -> 0.25))
-    price.join(qty, "l_returnflag")
+    ranked
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(
+        qAgg("price", 0.5, "p50_raw"),
+        qAgg("price", 0.95, "p95_raw"),
+        qAgg("qty", 0.25, "qty_p25_raw"))
       .select(
         col("l_returnflag"),
         round(col("p50_raw"), 2).as("p50"),
