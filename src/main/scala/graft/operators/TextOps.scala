@@ -187,9 +187,23 @@ object TextOps {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
 
-    val bandRows = docs.mapPartitions { it =>
-      it.flatMap { case (id, text) =>
-        val sig = minHashSignature(shingleHashes(text, ShingleSize))
+    // Shingle sets computed ONCE and cached (memory-and-disk, like q19's
+    // shingle table): the banding pass and the verify pass both read
+    // them — the round-3 shape re-tokenized the corpus three times
+    // (band join left/right + verify) and paid two sort-merge exchanges.
+    val shingled = docs
+      .map { case (id, text) => (id, shingleHashes(text, ShingleSize)) }
+      .toDF("doc_id", "shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // candidate pairs generated IN-BUCKET (one exchange on the band key,
+    // q26's home-members pattern) instead of a band-table self-join: a
+    // bucket is one near-dup cluster, its population bounded by the
+    // banding calibration; a degenerate mass-duplicate bucket costs
+    // O(b²) pairs in any formulation
+    val candidates = shingled.as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        val sig = minHashSignature(sh)
         (0 until Bands).iterator.map { b =>
           var h = 0x9e3779b97f4a7c15L ^ b
           var r = 0
@@ -197,19 +211,35 @@ object TextOps {
           (b, h, id)
         }
       }
-    }.toDF("band", "band_hash", "doc_id")
-
-    val candidates = bandRows.as("l")
-      .join(bandRows.as("r"), expr("l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id"))
-      .select($"l.doc_id".as("doc_a"), $"r.doc_id".as("doc_b"))
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, it: Iterator[(Int, Long, Long)]) =>
+        val ids0 = it.map(_._3).toArray
+        java.util.Arrays.sort(ids0)
+        // distinct ascending ids → each in-bucket pair emitted once, a < b
+        var n = 0
+        var i = 0
+        while (i < ids0.length) {
+          if (n == 0 || ids0(i) != ids0(n - 1)) { ids0(n) = ids0(i); n += 1 }
+          i += 1
+        }
+        for { a <- (0 until n).iterator; b <- (a + 1 until n).iterator }
+          yield (ids0(a), ids0(b))
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
 
-    // verify candidates with exact jaccard over shingle sets
-    val shingled = docs.map { case (id, text) => (id, shingleHashes(text, ShingleSize)) }
-      .toDF("doc_id", "shingles")
+    // verify with exact jaccard: only candidate docs' shingle sets are
+    // joined in. No forced broadcast hints — the candidate volume is
+    // data-dependent (tiny at fixture scale, possibly large on a
+    // duplicate-heavy crawl), so AQE picks broadcast-vs-shuffle from the
+    // runtime sizes instead of a hint that would force an oversized
+    // broadcast at scale
+    val candIds = candidates
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val candShingles = shingled.join(candIds, "doc_id")
     val verified = candidates
-      .join(shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-      .join(shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+      .join(candShingles.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+      .join(candShingles.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (b, a, shA, shB) => (a, b, exactJaccard(shA, shB)) }
       .toDF("doc_a", "doc_b", "jaccard")
