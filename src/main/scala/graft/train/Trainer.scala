@@ -127,7 +127,10 @@ object Trainer {
     * can re-plan. Replaces the reference's hand-rolled 8-thread,
     * memory-throttled scheduler (train/src/bin/train_files.rs:44-63).
     */
-  def trainSparkFractions(spark: SparkSession, corpus: DataFrame): DataFrame = {
+  def trainSparkFractions(
+      spark: SparkSession,
+      corpus: DataFrame,
+      lowerBroadcastMaxRows: Long = 4000000L): DataFrame = {
     import spark.implicits._
 
     val langIds = ScriptLang.all.map(l => l.code -> l.id).toMap
@@ -189,7 +192,6 @@ object Trainer {
     // is shared by both joins (exchange reuse). Above the threshold the
     // plain shuffle joins remain (AQE re-plans from runtime stats). The
     // row count is cheap: `counts` is cached.
-    val lowerBroadcastMaxRows = 4000000L
     val lowerMaybeBc =
       if (counts.filter($"size" >= 1 && $"size" <= 4).count() <= lowerBroadcastMaxRows)
         broadcast(lower)

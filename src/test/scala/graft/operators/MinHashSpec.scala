@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q17's banded-LSH candidate generation is calibrated so that a pair at
+  * Jaccard ≥ 0.7 misses all 32 bands with probability ~1e-9 — the DuckDB
+  * oracle asserts equality with the brute-force threshold set at sf0.01,
+  * and this spec asserts it in-suite at sf0.001 AND sf0.01 so the
+  * round-4 reshape (single shingle pass, in-bucket pair generation,
+  * candidate-only verify) stays provably exact, not just
+  * oracle-coincident.
+  */
+class MinHashSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def q17Pairs(sf: String): Set[(Long, Long, Double)] =
+    TextOps.q17MinHashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def brutePairs(sf: String, threshold: Double): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect()
+      .map { case (id, t) => (id, TextOps.shingleHashes(t, TextOps.ShingleSize)) }
+    (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      (a, sa) = docs(i)
+      (b, sb) = docs(j)
+      (lo, hi) = if (a < b) (a, b) else (b, a)
+      (loSh, hiSh) = if (a < b) (sa, sb) else (sb, sa)
+      jac = TextOps.exactJaccard(loSh, hiSh)
+      if jac >= threshold
+    } yield (lo, hi, math.round(jac * 10000.0) / 10000.0)).toSet
+  }
+
+  test("q17 equals the brute-force Jaccard >= 0.7 pair set") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val got = q17Pairs(sf)
+      val want = brutePairs(sf, 0.7)
+      assert(got == want,
+        s"$sf: q17 ${got.size} vs brute ${want.size}; diff=${(got diff want) ++ (want diff got)}")
+    }
+  }
+}

@@ -132,4 +132,14 @@ class ModelScaleSpec extends AnyFunSuite {
       .mapPartitions(_ => Iterator.single(sh.model.entryCount)).collect()
     assert(execCounts.forall(_ == direct.entryCount))
   }
+
+  test("sharded pack handles empty sizes (Han corpus: no wordgrams, bigram max)") {
+    import spark.implicits._
+    val corpus = FixtureCorpus.corpus(nLinesPerLang = 30, langs = Seq("cmn_Hans"))
+      .flatMap { case (l, ls) => ls.map(x => (l, x)) }.toDF("lang", "line")
+    val m = ModelIO.packShardedBroadcast(spark, Trainer.trainSpark(spark, corpus)).model
+    assert(m.wordTable.size == 0, "Han trains no wordgrams")
+    assert(m.charTables(0).size > 0 && m.charTables(1).size > 0)
+    assert((2 to 4).forall(m.charTables(_).size == 0), "Han caps at bigrams")
+  }
 }

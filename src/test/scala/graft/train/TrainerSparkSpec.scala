@@ -42,4 +42,19 @@ class TrainerSparkSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("broadcast and shuffle denominator-join paths emit identical fraction rows") {
+    import spark.implicits._
+    val corpus = FixtureCorpus.corpus(nLinesPerLang = 40, langs = Seq("eng", "fra"))
+      .flatMap { case (l, ls) => ls.map(x => (l, x)) }.toDF("lang", "line")
+    def rows(maxRows: Long): Set[(String, Int, String, Long, Long)] =
+      Trainer.trainSparkFractions(spark, corpus, lowerBroadcastMaxRows = maxRows)
+        .selectExpr("lang", "size", "ngram", "cast(freq as long)", "cast(denom as long)")
+        .as[(String, Int, String, Long, Long)].collect().toSet
+    val viaBroadcast = rows(Long.MaxValue) // (n−1)-gram side broadcast
+    val viaShuffle = rows(0L)              // forced above-threshold fallback
+    assert(viaBroadcast == viaShuffle,
+      s"broadcast ${viaBroadcast.size} vs shuffle ${viaShuffle.size} rows; " +
+        s"diff=${(viaBroadcast diff viaShuffle).take(3)} ${(viaShuffle diff viaBroadcast).take(3)}")
+  }
 }
