@@ -80,5 +80,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ObjectHashAggregate"), p)
     assert(p.contains("HashAggregate"), p) // the distinct-value count agg
     assert(p.contains("Window"), p)        // cumulative ranks over distinct values
+    // round-4 fusion: both measure columns share ONE unpivoted pass —
+    // exactly one lineitem scan and one window partitioning in the plan
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "two-measure percentiles must scan lineitem once\n" + p)
+  }
+
+  test("trainer: (n-1)-gram denominator side joins as broadcast below threshold") {
+    // At real model scale the lower-gram side exceeds
+    // autoBroadcastJoinThreshold, so WITHOUT the explicit hint Catalyst
+    // plans a shuffle join of the much larger n-gram side — simulate
+    // that regime by disabling auto-broadcast: only the row-count-gated
+    // hint can produce the broadcast then.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val corpus = graft.train.FixtureCorpus.corpus(nLinesPerLang = 20, langs = Seq("eng"))
+      .flatMap { case (l, ls) => ls.map(x => (l, x)) }.toDF("lang", "line")
+    val p = graft.train.Trainer.trainSparkFractions(s2, corpus)
+      .queryExecution.sparkPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "prefix and suffix denominator joins should both broadcast the lower-gram side\n" + p)
+    val p2 = graft.train.Trainer
+      .trainSparkFractions(s2, corpus, lowerBroadcastMaxRows = 0L)
+      .queryExecution.sparkPlan.toString
+    assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+      "above-threshold fallback should plan the shuffle join\n" + p2)
+  }
+
+  test("q17: verify path reuses the cached shingle table (one documents scan)") {
+    val df = TextOps.q17MinHashPairs(spark, sf)
+    df.collect() // materialize the cache + finalize adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // banding AND verify read the InMemoryRelation; the raw documents
+    // parquet appears in the cached plan only (one logical scan)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "shingle table should be cached and reused\n" + p)
   }
 }
