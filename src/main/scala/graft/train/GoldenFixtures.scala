@@ -466,6 +466,14 @@ object GoldenFixtures {
     ("wuu", "覅", "raw"),
     ("nan", "歹勢", "raw"),
     ("hak", "𠊎", "raw"),
+    // mixed-script model races: multiple scripts in one text put several
+    // modeled languages in the candidate set, so the batch-15 models
+    // actually VOTE (pure-script text short-circuits via O6) — the
+    // majority script's language must win, mirroring the reference's
+    // "I know you әлем" → eng cases
+    ("kor", "나는 학교 친구 사랑 hello", "raw"),
+    ("tha", "ภาษา บ้าน น้ำ เวลา water", "raw"),
+    ("eng", "the people know the world 물", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),

@@ -127,6 +127,28 @@ object Trainer {
     * can re-plan. Replaces the reference's hand-rolled 8-thread,
     * memory-throttled scheduler (train/src/bin/train_files.rs:44-63).
     */
+  /** OpenLID-style corpus layout reader (reference: train/README.md:6-10 —
+    * one line-corpus file per language): `dir/<lang>.txt` or sharded
+    * `dir/<lang>/part*.txt` → (lang STRING, line STRING) rows. The
+    * language code is recovered from the file path with
+    * `input_file_name()` on the executors — no driver-side listing, so a
+    * 10⁴-file corpus scans with ordinary parquet-text parallelism. Rows
+    * whose path matches neither shape get lang = "" and are dropped by
+    * `trainSparkFractions`'s registry lookup.
+    */
+  def readLineCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read
+      .option("recursiveFileLookup", "true")
+      .textFile(dir)
+    raw
+      .select(
+        when(input_file_name().rlike("/[A-Za-z0-9_]+\\.txt$"),
+          regexp_extract(input_file_name(), "/([A-Za-z0-9_]+)\\.txt$", 1))
+          .otherwise(regexp_extract(input_file_name(), "/([A-Za-z0-9_]+)/[^/]+$", 1))
+          .as("lang"),
+        col("value").as("line"))
+  }
+
   def trainSparkFractions(
       spark: SparkSession,
       corpus: DataFrame,

@@ -43,6 +43,36 @@ class TrainerSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("readLineCorpus recovers languages from OpenLID-style flat and sharded layouts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus")
+    // flat: <lang>.txt
+    java.nio.file.Files.write(dir.resolve("eng.txt"),
+      java.util.Arrays.asList("the world", "people know"))
+    // sharded: <lang>/part-*.txt
+    val deu = java.nio.file.Files.createDirectory(dir.resolve("deu"))
+    java.nio.file.Files.write(deu.resolve("part-00000.txt"),
+      java.util.Arrays.asList("die welt"))
+    java.nio.file.Files.write(deu.resolve("part-00001.txt"),
+      java.util.Arrays.asList("leute wissen"))
+
+    val rows = Trainer.readLineCorpus(spark, dir.toString)
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(
+      ("eng", "the world"), ("eng", "people know"),
+      ("deu", "die welt"), ("deu", "leute wissen")), rows)
+
+    // the reader's output feeds the trainer directly: same model as the
+    // equivalent in-memory corpus
+    val viaFiles = Trainer.trainSpark(spark, Trainer.readLineCorpus(spark, dir.toString).toDF("lang", "line"))
+      .as[(String, Int, String, Double)].collect().toSet
+    val viaMemory = Trainer.trainSpark(spark,
+      Seq(("eng", "the world"), ("eng", "people know"),
+        ("deu", "die welt"), ("deu", "leute wissen")).toDF("lang", "line"))
+      .as[(String, Int, String, Double)].collect().toSet
+    assert(viaFiles == viaMemory)
+  }
+
   test("broadcast and shuffle denominator-join paths emit identical fraction rows") {
     import spark.implicits._
     val corpus = FixtureCorpus.corpus(nLinesPerLang = 40, langs = Seq("eng", "fra"))
