@@ -117,7 +117,7 @@ object TextOps {
     java.util.Arrays.copyOf(out, w)
   }
 
-  @inline private def mix(x0: Long): Long = {
+  @inline private[graft] def mix(x0: Long): Long = {
     var x = x0
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.operators.TextOps
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash near-duplicate detection: each document's banded
+  * MinHash signature claims `TextOps.Bands` stateful buckets; the first
+  * document to reach a bucket owns it, and every later document hitting an
+  * owned bucket is emitted as a near-dup CANDIDATE of the owner.
+  *
+  * Semantics vs batch q17: the banding calibration is shared
+  * (`TextOps.MinHashPerms` scaladoc — a J ≥ 0.7 pair collides in ≥ 1 band
+  * with miss probability ~1e-9), so the streaming candidate set COVERS the
+  * batch exact-verified pair set (asserted in StreamingSpec). The
+  * exact-Jaccard verify itself is deliberately NOT streamed: it would
+  * require keeping every document's shingle set in the state store
+  * (corpus-sized state). Candidates are verified downstream in batch
+  * (q17) or consumed as-is where banding precision suffices.
+  *
+  * State: one entry per occupied (band, band_hash) bucket — owner doc_id +
+  * newest event time, 24 bytes — bounded by an event-time timeout exactly
+  * like StreamingFilter's dedup state: a bucket expires `horizonDays` past
+  * its newest hit (watermark-driven), so the store size follows the
+  * distinct-bucket rate of the horizon window, not the full history.
+  */
+object StreamingNearDup {
+
+  /** Bucket owner + newest hit time (staleness bound, cf.
+    * StreamingFilter.SeenState).
+    */
+  final case class BucketState(ownerId: Long, newestMs: Long)
+
+  final case class BandRow(band: Int, hash: Long, docId: Long, ts: java.sql.Timestamp)
+
+  final case class Candidate(doc_id: Long, owner_id: Long, band: Int)
+
+  /** (doc_id, event_ts, text) stream → near-dup candidate stream. */
+  def candidates(
+      docs: Dataset[(Long, java.sql.Timestamp, String)],
+      horizonDays: Int = 7
+  ): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonDays.toLong * 86400000L
+
+    // banding first (typed map), THEN the watermark on the band rows' ts —
+    // the stateful operator needs the watermark on a surviving column
+    val bands = docs
+      .flatMap { case (id, ts, text) =>
+        val sig = TextOps.minHashSignature(TextOps.shingleHashes(text, TextOps.ShingleSize))
+        (0 until TextOps.Bands).iterator.map { b =>
+          var h = 0x9e3779b97f4a7c15L ^ b
+          var r = 0
+          while (r < TextOps.RowsPerBand) {
+            h = TextOps.mix(h ^ sig(b * TextOps.RowsPerBand + r))
+            r += 1
+          }
+          BandRow(b, h, id, ts)
+        }
+      }
+      .withWatermark("ts", "2 days")
+
+    bands
+      .groupByKey(r => (r.band, r.hash))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = rows.toSeq.sortBy(r => (r.ts.getTime, r.docId))
+            if (buf.isEmpty) Iterator.empty
+            else {
+              // EventTimeTimeout fires only for keys with no data in the
+              // batch; a key receiving data past its horizon starts a
+              // fresh ownership generation (cf. StreamingFilter.filtered)
+              val stale = state.getOption.exists(s =>
+                state.getCurrentWatermarkMs() > s.newestMs + horizonMs)
+              if (stale) state.remove()
+              val newest = math.max(
+                buf.map(_.ts.getTime).max,
+                state.getOption.map(_.newestMs).getOrElse(Long.MinValue))
+              val out: Iterator[Candidate] = state.getOption match {
+                case Some(s) =>
+                  state.update(s.copy(newestMs = newest))
+                  buf.iterator
+                    .filter(_.docId != s.ownerId)
+                    .map(r => Candidate(r.docId, s.ownerId, key._1))
+                case None =>
+                  val owner = buf.head
+                  state.update(BucketState(owner.docId, newest))
+                  buf.tail.iterator.map(r => Candidate(r.docId, owner.docId, key._1))
+              }
+              state.setTimeoutTimestamp(
+                math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1))
+              out
+            }
+          }
+        }
+      )
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming banding shares q17's calibration, so every batch
+  * exact-verified near-dup pair must land in the same streaming near-dup
+  * CLUSTER (connected through bucket owners — first-wins ownership means a
+  * pair can be connected via a shared owner rather than by a direct edge).
+  */
+class StreamingNearDupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streaming candidates cluster every batch q17 pair; state rows stay per-bucket") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val sf = "/root/testdata/sf0.001"
+
+    // same corpus as batch q17, with a constant event time added
+    val ts = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    graft.operators.Tables.documents(spark, sf)
+      .select($"doc_id", lit(ts).as("ts"), $"text")
+      .write.parquet(s"$tmp/docs")
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+      .parquet(s"$tmp/docs")
+      .as[(Long, java.sql.Timestamp, String)]
+    val q = StreamingNearDup.candidates(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val edges = spark.table("neardup_out")
+      .select($"doc_id", $"owner_id").distinct()
+      .as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (d, o) => d != o }, "no self-candidates")
+
+    // union-find over candidate edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+
+    val batchPairs = graft.operators.TextOps.q17MinHashPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(batchPairs.nonEmpty, "fixture corpus should contain planted near-dups")
+    batchPairs.foreach { case (a, b) =>
+      assert(find(a) == find(b),
+        s"batch near-dup pair ($a,$b) not connected in the streaming candidate graph")
+    }
+  }
+}
