@@ -64,4 +64,53 @@ class StreamingNearDupSpec extends AnyFunSuite {
         s"batch near-dup pair ($a,$b) not connected in the streaming candidate graph")
     }
   }
+
+  test("bucket-ownership state survives a checkpoint restart") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-neardup-r").toString
+    val docsDir = s"$tmp/docs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(docsDir))
+    val outDir = s"$tmp/out"
+
+    val ts = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    val base = ("the house of water and world people time year good know " * 6).trim
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+        .parquet(docsDir)
+        .as[(Long, java.sql.Timestamp, String)]
+      StreamingNearDup.candidates(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+    }
+
+    // phase 1: owner (doc 1) + near-copy (doc 2)
+    Seq((1L, ts, base), (2L, ts, base + " extra")).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(docsDir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val phase1 = spark.read.parquet(outDir)
+      .select($"doc_id", $"owner_id").distinct().as[(Long, Long)].collect().toSet
+    assert(phase1 == Set((2L, 1L)), s"doc 2 should be a candidate of owner 1: $phase1")
+
+    // phase 2 (query DOWN): another near-copy lands
+    Seq((3L, ts, base + " other")).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(docsDir)
+
+    // restart: doc 3 must hit doc 1's CHECKPOINTED buckets — if the
+    // ownership state were lost, doc 3 would claim fresh buckets and
+    // emit nothing
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(outDir)
+      .select($"doc_id", $"owner_id").distinct().as[(Long, Long)].collect().toSet
+    assert(all == Set((2L, 1L), (3L, 1L)),
+      s"restart must resume bucket ownership (expected (3,1) added): $all")
+  }
 }
