@@ -59,6 +59,45 @@ object BenchDecompose {
         println(s"DECOMP j_rows prefixes=${st.distPrefixes().count()} " +
           s"rawPairs=${st.distRawPairs().count()} candidates=${st.distCandidates().count()}")
         st.docs.unpersist()
+      case "minhash" =>
+        // q17 stage decomposition; `path` is an sf dir.
+        import graft.operators.{Tables, TextOps}
+        val docs = Tables.documents(spark, path).select($"doc_id", $"text")
+        timed("m_scan") { noop(docs) }
+        timed("m_shingle") {
+          noop(docs.as[(Long, String)]
+            .map { case (id, t) => (id, TextOps.shingleHashes(t, TextOps.ShingleSize).length) }
+            .toDF("doc_id", "n"))
+        }
+        timed("m_signature") {
+          noop(docs.as[(Long, String)]
+            .map { case (id, t) =>
+              val sig = TextOps.minHashSignature(TextOps.shingleHashes(t, TextOps.ShingleSize))
+              (id, sig(0))
+            }
+            .toDF("doc_id", "s0"))
+        }
+        val bandRows = docs.as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (id, text) =>
+              val sig = TextOps.minHashSignature(
+                TextOps.shingleHashes(text, TextOps.ShingleSize))
+              (0 until TextOps.Bands).iterator.map { b =>
+                var h = 0x9e3779b97f4a7c15L ^ b
+                var r = 0
+                while (r < TextOps.RowsPerBand) {
+                  h = graft.operators.TextOps.mix(h ^ sig(b * TextOps.RowsPerBand + r)); r += 1
+                }
+                (h, id)
+              }
+            }
+          }
+          .toDF("bucket", "doc_id")
+        timed("m_bandrows") { noop(bandRows) }
+        timed("m_bandsorted") {
+          noop(bandRows.repartition($"bucket").sortWithinPartitions($"bucket", $"doc_id"))
+        }
+        timed("m_full") { noop(TextOps.q17MinHashPairs(spark, path)) }
       case "scan" =>
         timed("scan_hash") {
           noop(pages.select($"url", $"warc_ts",

@@ -172,80 +172,201 @@ object TextOps {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** MinHash + LSH near-duplicate pairs:
-    * signature (typed map, partition-local) → explode into `Bands` band-hash
-    * rows → shuffle by band bucket → intra-bucket candidate pairs →
-    * exact-Jaccard verify on the shingle sets (joined back by doc_id).
+  /** MinHash + LSH near-duplicate pairs.
     *
-    * Scale: the only all-to-all movement is (doc_id, band_hash) pairs —
-    * 32 longs per document, not the text. Bucket pair-expansion is bounded
-    * by bucket size; verify rejoins text for candidates only. Banding is
-    * calibrated (see MinHashPerms) so the output equals the exact
-    * brute-force J ≥ threshold pair set — the DuckDB oracle.
+    * Plan (one pass over the corpus, no corpus-sized cache):
+    *  1. text → shingles → 128-perm signature → 32 band-bucket rows per
+    *     document (typed mapPartitions; shingle sets are never
+    *     materialized into a column). The scan is repartitioned first —
+    *     the parquet split count would otherwise cap the kernel's
+    *     parallelism (q19 learned this in round 3).
+    *  2. band-table SELF-JOIN on the bucket key → candidate pairs, with
+    *     the EXACT length filter (J ≥ t ⇒ min(szA,szB) ≥ t·max) applied
+    *     from shingle counts carried on the band rows (cuts ~1/3 of the
+    *     background candidates before the distinct).
+    *  3. bounded candidate probe (q19's df-probe pattern): pair list and
+    *     candidate shingle sets pulled once, under hard caps, then
+    *     verified map-side from a broadcast — ZERO shuffle of shingle
+    *     arrays. Past the caps the lazy distributed verify runs instead.
+    *
+    * Scale: the only corpus-sized movement is (bucket, doc_id, sz) rows —
+    * 32 per document, never the text. Banding is calibrated (see
+    * MinHashPerms) so the output equals the exact brute-force
+    * J ≥ threshold pair set — the DuckDB oracle.
+    *
+    * Shape history, all measured at sf0.1 (5k docs / ~200k candidate
+    * pairs — the pair set is ~40× larger than the corpus, which is what
+    * makes broadcast-verify the right plan): round-3 band self-join +
+    * two-sided shingle rejoin 2.5 s; round-4 corpus-wide shingle cache +
+    * boxed groupByKey 3.4–3.8 s (the cache materialization cost more
+    * than it saved — the r4 regression); round-5 alternatives: verify
+    * joins that exchange array-laden rows 5–6 s, this shape ~1 s.
     */
-  def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+  def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
+    q17MinHashPairsImpl(spark, sfDir, threshold, 4 << 20, 16L << 20)
+
+  /** q17 with injectable probe caps — MinHashSpec forces the distributed
+    * fallback (caps = 0) to keep it provably equal to the broadcast path.
+    */
+  private[graft] def q17MinHashPairsImpl(
+      spark: SparkSession, sfDir: String, threshold: Double,
+      candCap: Int, shingleLongsCap: Long): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").repartition($"doc_id")
 
-    // Shingle sets computed ONCE and cached (memory-and-disk, like q19's
-    // shingle table): the banding pass and the verify pass both read
-    // them — the round-3 shape re-tokenized the corpus three times
-    // (band join left/right + verify) and paid two sort-merge exchanges.
-    val shingled = docs
-      .map { case (id, text) => (id, shingleHashes(text, ShingleSize)) }
-      .toDF("doc_id", "shingles")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // candidate pairs generated IN-BUCKET (one exchange on the band key,
-    // q26's home-members pattern) instead of a band-table self-join: a
-    // bucket is one near-dup cluster, its population bounded by the
-    // banding calibration; a degenerate mass-duplicate bucket costs
-    // O(b²) pairs in any formulation
-    val candidates = shingled.as[(Long, Array[Long])]
-      .flatMap { case (id, sh) =>
-        val sig = minHashSignature(sh)
-        (0 until Bands).iterator.map { b =>
-          var h = 0x9e3779b97f4a7c15L ^ b
-          var r = 0
-          while (r < RowsPerBand) { h = mix(h ^ sig(b * RowsPerBand + r)); r += 1 }
-          (b, h, id)
+    // Band bucket keys: the band index is folded into the hash seed, so
+    // one mixed 64-bit key replaces the (band, hash) pair — a cross-band
+    // key collision can only MERGE buckets, which adds candidates that
+    // the exact verify below discards (never loses a pair). sz rides
+    // along for the length filter.
+    val bandRows = docs.as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sh = shingleHashes(text, ShingleSize)
+          val sig = minHashSignature(sh)
+          (0 until Bands).iterator.map { b =>
+            var h = 0x9e3779b97f4a7c15L ^ b
+            var r = 0
+            while (r < RowsPerBand) { h = mix(h ^ sig(b * RowsPerBand + r)); r += 1 }
+            (h, id, sh.length)
+          }
         }
       }
-      .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (_, it: Iterator[(Int, Long, Long)]) =>
-        val ids0 = it.map(_._3).toArray
-        java.util.Arrays.sort(ids0)
-        // distinct ascending ids → each in-bucket pair emitted once, a < b
-        var n = 0
-        var i = 0
-        while (i < ids0.length) {
-          if (n == 0 || ids0(i) != ids0(n - 1)) { ids0(n) = ids0(i); n += 1 }
-          i += 1
-        }
-        for { a <- (0 until n).iterator; b <- (a + 1 until n).iterator }
-          yield (ids0(a), ids0(b))
-      }
-      .toDF("doc_a", "doc_b")
-      .distinct()
+      .toDF("bucket", "doc_id", "sz")
 
-    // verify with exact jaccard: only candidate docs' shingle sets are
-    // joined in. No forced broadcast hints — the candidate volume is
-    // data-dependent (tiny at fixture scale, possibly large on a
-    // duplicate-heavy crawl), so AQE picks broadcast-vs-shuffle from the
-    // runtime sizes instead of a hint that would force an oversized
-    // broadcast at scale
-    val candIds = candidates
-      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-    val candShingles = shingled.join(candIds, "doc_id")
-    val verified = candidates
-      .join(candShingles.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
-      .join(candShingles.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (b, a, shA, shB) => (a, b, exactJaccard(shA, shB)) }
-      .toDF("doc_a", "doc_b", "jaccard")
-      .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-    verified
+    // Candidate pairs from a band-table SELF-JOIN on the bucket key; the
+    // length filter drops pairs no Jaccard ≥ t pair can violate, so the
+    // output is unchanged. SHUFFLE_MERGE corrects a known-wrong
+    // cardinality estimate rather than forcing a small-table plan: the
+    // planner sizes this join from the parquet scan and cannot see the
+    // 32× row blowup inside the typed signature pass, so it planned a
+    // broadcast of the whole band table (measured slower at sf0.1,
+    // driver-fatal at crawl scale). Pair blowup per bucket is O(b²) in
+    // any formulation; bucket population is bounded by the calibration.
+    val candidates = bandRows.select($"bucket", $"doc_id".as("doc_a"), $"sz".as("sz_a"))
+      .join(
+        bandRows.select($"bucket", $"doc_id".as("doc_b"), $"sz".as("sz_b"))
+          .hint("SHUFFLE_MERGE"),
+        Seq("bucket"))
+      .where($"doc_a" < $"doc_b" &&
+        least($"sz_a", $"sz_b").cast("double") >= lit(threshold) * greatest($"sz_a", $"sz_b"))
+      .select($"doc_a", $"doc_b")
+
+    // Bounded candidate probe (q19's df-probe pattern): ONE job pulls the
+    // pair rows (duplicates included — a pair can collide in several
+    // bands) under per-partition caps; dedup happens driver-side, so the
+    // plan needs no distinct exchange on the fast path. A second
+    // single-job bounded fetch pulls the candidate DOCS' shingle sets
+    // (≤ 16M longs ≈ 128 MB total, per-partition capped) for a map-side
+    // verify. Every structure pulled is hard-capped; past a cap the
+    // distributed fallback below runs instead. Nothing is persisted — no
+    // cache outlives the call (the r4 ADVICE item).
+    val candRdd = candidates.as[(Long, Long)].rdd
+    val perPartCap = math.max(1 << 16, (candCap / math.max(1, candRdd.getNumPartitions)) * 4)
+    val chunks = spark.sparkContext.runJob(candRdd, (it: Iterator[(Long, Long)]) => {
+      val buf = new ArrayBuffer[(Long, Long)](1024)
+      while (it.hasNext && buf.length <= perPartCap) buf += it.next()
+      buf.toArray
+    })
+    val pairsArr: Array[(Long, Long)] =
+      if (chunks.exists(_.length > perPartCap) ||
+          chunks.iterator.map(_.length.toLong).sum > candCap) null
+      else {
+        val seen = new java.util.HashSet[(Long, Long)](1 << 16)
+        val out = new ArrayBuffer[(Long, Long)](1 << 16)
+        chunks.foreach(_.foreach { p => if (seen.add(p)) out += p })
+        out.toArray
+      }
+
+    val bcastPlan: Option[DataFrame] =
+      if (pairsArr == null) None
+      else {
+        // distinct candidate doc ids, driver-side (≤ 2·candCap longs)
+        val idSet = new java.util.HashSet[java.lang.Long](pairsArr.length * 2)
+        pairsArr.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
+        val bcIds = spark.sparkContext.broadcast(idSet)
+        val docsRdd = docs.as[(Long, String)].rdd
+        val perPartLongs =
+          math.max(1L << 20, shingleLongsCap / math.max(1, docsRdd.getNumPartitions) * 4)
+        // per-partition capped shingle fetch; an overfull partition emits
+        // a sentinel instead of unbounded arrays
+        val shChunks = spark.sparkContext.runJob(docsRdd, (it: Iterator[(Long, String)]) => {
+          val ids = bcIds.value
+          val buf = new ArrayBuffer[(Long, Array[Long])](256)
+          var longs = 0L
+          var over = false
+          while (it.hasNext && !over) {
+            val (id, text) = it.next()
+            if (ids.contains(id)) {
+              val sh = shingleHashes(text, ShingleSize)
+              longs += sh.length
+              if (longs > perPartLongs) over = true else buf += ((id, sh))
+            }
+          }
+          (over, buf.toArray)
+        })
+        bcIds.destroy()
+        val totalLongs = shChunks.iterator.map(_._2.iterator.map(_._2.length.toLong).sum).sum
+        if (shChunks.exists(_._1) || totalLongs > shingleLongsCap) None
+        else {
+          val shMap = new scala.collection.mutable.LongMap[Array[Long]](pairsArr.length * 2)
+          shChunks.foreach(_._2.foreach { case (id, sh) => shMap(id) = sh })
+          val bc = spark.sparkContext.broadcast((pairsArr, shMap))
+          // pairs stay DISTRIBUTED (they outnumber the docs ~40× at
+          // sf0.1): each task verifies a slice against the broadcast
+          val slices = spark.sparkContext.defaultParallelism * 2
+          val verified = spark.createDataset(
+            spark.sparkContext.range(0L, pairsArr.length.toLong, 1, slices))
+            .mapPartitions { it =>
+              val (ps, m) = bc.value
+              it.flatMap { i =>
+                val (a, b) = ps(i.toInt)
+                val jac = exactJaccard(m(a), m(b))
+                if (jac >= threshold) Iterator((a, b, jac)) else Iterator.empty
+              }
+            }
+            .toDF("doc_a", "doc_b", "jaccard")
+            .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+          Some(verified)
+        }
+      }
+
+    // Distributed fallback past the probe caps (duplicate-heavy crawl):
+    // melt each pair into its two (doc_id → pair) sides, map-side-join
+    // the doc-unique shingle table, ONE exchange regroups by pair key.
+    // Correct at any scale; the banding subtree re-executes under the
+    // lazy reuse, trading time for bounded driver memory.
+    bcastPlan.getOrElse {
+      val candDf =
+        if (pairsArr != null) spark.createDataset(pairsArr.toSeq).toDF("doc_a", "doc_b")
+        else candidates.distinct()
+      val candIds = candDf
+        .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+      val candShingles = docs.join(candIds, "doc_id").as[(Long, String)]
+        .map { case (id, text) => (id, shingleHashes(text, ShingleSize)) }
+        .toDF("doc_id", "shingles")
+      val sides = candDf.select(
+        $"doc_a", $"doc_b", explode(array($"doc_a", $"doc_b")).as("doc_id"))
+      candShingles.join(sides, "doc_id")
+        .select($"doc_a", $"doc_b", $"doc_id", $"shingles")
+        .as[(Long, Long, Long, Array[Long])]
+        .groupByKey { case (a, b, _, _) => (a, b) }
+        .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Array[Long])]) =>
+          var shA: Array[Long] = null
+          var shB: Array[Long] = null
+          it.foreach { case (_, _, id, sh) =>
+            if (id == key._1) shA = sh else if (id == key._2) shB = sh
+          }
+          if (shA == null || shB == null) Iterator.empty
+          else {
+            val jac = exactJaccard(shA, shB)
+            if (jac >= threshold) Iterator((key._1, key._2, jac)) else Iterator.empty
+          }
+        }
+        .toDF("doc_a", "doc_b", "jaccard")
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+    }
   }
 
   /** SimHash (60-bit) per document over space-separated tokens:

@@ -48,4 +48,20 @@ class MinHashSpec extends AnyFunSuite {
         s"$sf: q17 ${got.size} vs brute ${want.size}; diff=${(got diff want) ++ (want diff got)}")
     }
   }
+
+  test("q17 distributed fallback (probe caps forced to 0) equals the broadcast path") {
+    // candCap = 0 forces pairsArr = null → the melt-join verify; the
+    // output must be identical to the fast path and the brute force
+    val sf = "/root/testdata/sf0.01"
+    val fallback = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 0, shingleLongsCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fallback == brutePairs(sf, 0.7))
+  }
+
+  test("q17 shingle-fetch overflow (pair cap ok, shingle cap 0) falls back correctly") {
+    val sf = "/root/testdata/sf0.001"
+    val fallback = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 4 << 20, shingleLongsCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fallback == brutePairs(sf, 0.7))
+  }
 }
