@@ -537,7 +537,43 @@ object TextOps {
     out.iterator
   }
 
-  private[graft] def q19Stages(spark: SparkSession, sfDir: String, threshold: Double): JaccardStages = {
+  /** Hot-gram posting-list bound for the distributed q19 plan: a prefix
+    * gram with df > HotGramDf is 2D-BLOCKED — its posting list is split
+    * into ⌈df / HotGramBlock⌉ hash-blocks and each row is emitted once
+    * per (ownBlock, otherBlock) pair key. Any two docs sharing the gram
+    * then still share exactly one key (their block pair), so candidate
+    * COVERAGE is unchanged — the exactness argument never weakens — while
+    * a reducer buffers at most two blocks (≤ 2·HotGramBlock rows) instead
+    * of the whole posting list. Duplicate pairs across keys die in the
+    * existing distinct. (The sketch of "drop hot grams from prefixes"
+    * was rejected: two docs whose prefixes intersect ONLY at hot grams —
+    * mass-boilerplate pages — would lose their covering key.) Cost is
+    * emission × ⌈df/block⌉ for hot rows, the price of keeping the
+    * all-pairs semantics of a gram every document shares.
+    */
+  final val HotGramDf = 4096L
+  final val HotGramBlock = 4096L
+
+  /** Last q19 shingle cache — released by the NEXT q19 call (the lazy
+    * result plan needs it alive after q19Stages returns).
+    */
+  private val lastQ19Cache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private[graft] def q19Stages(spark: SparkSession, sfDir: String, threshold: Double): JaccardStages =
+    q19StagesFromDocs(
+      spark,
+      Tables.documents(spark, sfDir).select(col("source"), col("doc_id"), col("text")),
+      threshold, HotGramDf, HotGramBlock)
+
+  /** q19 over an explicit (source, doc_id, text) DataFrame with
+    * injectable hot-gram bounds — JaccardSpec drives a pathological
+    * mass-boilerplate source through tiny bounds to prove the per-task
+    * posting buffer stays bounded while the output equals brute force.
+    */
+  private[graft] def q19StagesFromDocs(
+      spark: SparkSession, docsIn: DataFrame, threshold: Double,
+      hotGramDf: Long, hotGramBlock: Long): JaccardStages = {
     import spark.implicits._
     // repartition BEFORE shingling: the broadcast-df prefix plan below has
     // no exchange between the scan and the candidate join, so the scan's
@@ -552,13 +588,19 @@ object TextOps {
     // measured this query at 4× its quiet cost). At warehouse scale the
     // same reuse is a checkpointed intermediate table; the storage level
     // spills to disk so the cache never OOMs a task.
-    val docs = Tables.documents(spark, sfDir)
-      .select($"source", $"doc_id", $"text")
+    val docs = docsIn
       .repartition($"doc_id")
       .as[(String, Long, String)]
       .map { case (src, id, text) => (src, id, shingleHashes(text, ShingleSize)) }
       .toDF("source", "doc_id", "shingles")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One cache may outlive this call (the returned plan is lazy), but
+    // never more than one: each call releases the previous call's cache
+    // (ADVICE r4 — Verify dumping all queries used to accumulate them).
+    locally {
+      val prev = lastQ19Cache.getAndSet(docs)
+      if (prev != null && (prev ne docs)) prev.unpersist(false)
+    }
 
     // Adaptive plan choice, decided from ONE tiny agg over the cached docs
     // (which also materializes the cache): if every source group fits a
@@ -616,10 +658,23 @@ object TextOps {
       val idxMinRem = math.ceil(2 * tf * sz).toInt // rem ≥ this ⇔ in index prefix
       java.util.Arrays.sort(dg, implicitly[Ordering[(Long, Long)]])
       dg.iterator.take(keep).zipWithIndex
-        .map { case ((_, gram), pos) =>
+        .flatMap { case ((dfv, gram), pos) =>
           val rem = sz - pos
           // negative rem ⇔ gram also in the doc's INDEX prefix
-          (mix(gram ^ srcHash), id, sz, if (rem >= idxMinRem) -rem else rem)
+          val remEnc = if (rem >= idxMinRem) -rem else rem
+          val gk = mix(gram ^ srcHash)
+          if (dfv <= hotGramDf) Iterator.single((gk, id, sz, remEnc))
+          else {
+            // hot gram: 2D-blocked keys (see HotGramDf scaladoc). Both
+            // docs of any pair derive the same (lo, hi) block-pair key.
+            val g = (((dfv - 1) / hotGramBlock) + 1).toInt
+            val myBlk = ((mix(id) % g + g) % g).toInt
+            (0 until g).iterator.map { other =>
+              val lo = math.min(myBlk, other).toLong
+              val hi = math.max(myBlk, other).toLong
+              (mix(gk ^ (lo * 0x9e3779b97f4a7c15L + hi + 1L)), id, sz, remEnc)
+            }
+          }
         }
     }
     val dfBroadcastMax = 4 << 20 // ~64 MB of (gram, df) pairs
@@ -718,10 +773,16 @@ object TextOps {
     lazy val candidates = rawPairs.distinct()
 
     lazy val distResult = {
-      val sh = docs.select($"doc_id", $"shingles")
+      // source carried into the verify: the folded 64-bit (source, gram)
+      // key means a collision COULD merge groups across sources, so the
+      // per-source contract is re-checked here where it costs one string
+      // compare per candidate — collisions can only add verify work,
+      // never wrong output (ADVICE r4).
+      val sh = docs.select($"source", $"doc_id", $"shingles")
       candidates
-        .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-        .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+        .join(sh.toDF("src_a", "doc_a", "sh_a"), "doc_a")
+        .join(sh.toDF("src_b", "doc_b", "sh_b"), "doc_b")
+        .filter($"src_a" === $"src_b")
         .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
         .as[(Long, Long, Array[Long], Array[Long])]
         .map { case (a, b, shA, shB) => (a, b, exactJaccard(shA, shB)) }

@@ -31,6 +31,50 @@ class JaccardSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-gram 2D blocking: pathological mass-boilerplate source stays bounded and exact") {
+    // Every doc shares the same boilerplate prefix (so several grams have
+    // df = n and land in every doc's PREFIX — short docs), plus a small
+    // unique tail; planted near-dup pairs differ only in the tail's last
+    // chars. With hotGramDf = 8 / hotGramBlock = 8 the universal grams
+    // (df = 240 >> 8) must be 2D-blocked: no (source, gram[, blockpair])
+    // key may hold more than 2 * 8 + slack rows, and the distributed
+    // output must still equal brute force.
+    import spark.implicits._
+    val n = 240
+    val docsIn = (0 until n).map { i =>
+      val pair = i / 2
+      // 10-char boilerplate -> 6 universal 5-grams; tail varies per pair,
+      // last char varies within the pair (high-Jaccard planted dups)
+      val tail = f"t${pair}%03dx${if (i % 2 == 0) "a" else "b"}"
+      ("web", i.toLong, s"BOILERPLT!$tail")
+    }.toDF("source", "doc_id", "text")
+
+    val st = TextOps.q19StagesFromDocs(spark, docsIn, 0.3, hotGramDf = 8L, hotGramBlock = 8L)
+    val dist = rows(st.distResult())
+
+    // brute force over the same shingles
+    val docsArr = docsIn.as[(String, Long, String)].collect()
+      .map { case (_, id, t) => (id, TextOps.shingleHashes(t, TextOps.ShingleSize)) }
+    val brute = (for {
+      i <- docsArr.indices.iterator
+      j <- (i + 1) until docsArr.length
+      jac = TextOps.exactJaccard(docsArr(i)._2, docsArr(j)._2)
+      if jac >= 0.3
+    } yield (docsArr(i)._1, docsArr(j)._1, math.round(jac * 10000.0) / 10000.0)).toSet
+    assert(dist == brute, s"dist ${dist.size} vs brute ${brute.size}")
+    assert(brute.size >= n / 2, "planted pairs must actually exceed the threshold")
+
+    // per-task posting bound: a key holds two hash-blocks of nominal size
+    // 8; block loads are binomial (240 docs over 30 blocks), so allow
+    // ~3x nominal per block. Unblocked, the universal grams would put
+    // all 240 rows under one key.
+    val maxPerKey = st.distPrefixes().groupBy("_1").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxPerKey <= 6 * 8 && maxPerKey < n / 4,
+      s"blocked posting lists must stay bounded, got $maxPerKey rows in one key")
+    st.docs.unpersist()
+  }
+
   test("local plan emits ordered pairs with exact jaccard at a lower threshold") {
     // lower threshold => more pairs; checks the prefix/length filters are
     // not over-pruning when many borderline pairs exist
