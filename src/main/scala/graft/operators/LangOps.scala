@@ -47,17 +47,27 @@ object LangOps {
       .toDF("doc_id", "lang_detected", "confidence")
   }
 
-  /** One Detector per executor THREAD (not per row): a Detector carries
-    * ~10 registry-sized scratch arrays (~20 KB at 346 languages), so the
-    * round-3 per-row `new Detector` inside the udf closure cost ~10× the
-    * typed-map hot path in allocation alone. `@transient lazy` re-creates
-    * the ThreadLocal after task deserialization; LangOpsSpec asserts the
-    * construction count stays O(threads) via Detector.constructed.
+  /** One Detector per executor THREAD (not per row, not per task): a
+    * Detector carries ~10 registry-sized scratch arrays (~20 KB at 346
+    * languages), so the round-3 per-row `new Detector` inside the udf
+    * closure cost ~10× the typed-map hot path in allocation alone. The
+    * pool is a JVM-WIDE object keyed by broadcast id — a `@transient
+    * lazy` field inside the serialized closure was rebuilt per TASK
+    * (each task deserializes its own closure), so detectors were never
+    * reused across tasks and the "O(threads)" claim held only per task
+    * (ADVICE r4). The registry holds one ThreadLocal per broadcast
+    * model — one model per context in practice — for the JVM lifetime.
+    * LangOpsSpec asserts the construction count stays O(threads) across
+    * repeated queries via Detector.constructed.
     */
-  private final class DetectorPool(bc: Broadcast[PackedModel]) extends Serializable {
-    @transient private lazy val tl: ThreadLocal[Detector] =
-      ThreadLocal.withInitial(() => new Detector(bc.value, DetectorConfig.default))
-    def get: Detector = tl.get()
+  private object DetectorPools {
+    private val pools =
+      new java.util.concurrent.ConcurrentHashMap[Long, ThreadLocal[Detector]]()
+    def get(bc: Broadcast[PackedModel]): Detector =
+      pools.computeIfAbsent(
+        bc.id,
+        _ => ThreadLocal.withInitial(() => new Detector(bc.value, DetectorConfig.default))
+      ).get()
   }
 
   /** Register `detect_lang(text)` for SQL access, returning
@@ -66,10 +76,10 @@ object LangOps {
     * SQL-ergonomics wrapper over the same broadcast model.
     */
   def registerSql(spark: SparkSession): Unit = {
-    val pool = new DetectorPool(broadcastModel(spark))
+    val bc = broadcastModel(spark)
     val f = org.apache.spark.sql.functions.udf { (text: String) =>
       if (text == null) ("und", 0.0)
-      else pool.get.detectWithConfidence(text)
+      else DetectorPools.get(bc).detectWithConfidence(text)
     }
     spark.udf.register("detect_lang", f)
   }

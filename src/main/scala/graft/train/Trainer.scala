@@ -142,9 +142,14 @@ object Trainer {
       .textFile(dir)
     raw
       .select(
+        // both branches require the .txt suffix: a stray non-corpus file
+        // inside a <lang>/ shard dir (_SUCCESS, README.md, .crc) must
+        // fall through to lang = "" and be dropped by the registry
+        // lookup, not be silently trained as that language (ADVICE r4)
         when(input_file_name().rlike("/[A-Za-z0-9_]+\\.txt$"),
           regexp_extract(input_file_name(), "/([A-Za-z0-9_]+)\\.txt$", 1))
-          .otherwise(regexp_extract(input_file_name(), "/([A-Za-z0-9_]+)/[^/]+$", 1))
+          .otherwise(
+            regexp_extract(input_file_name(), "/([A-Za-z0-9_]+)/[^/]+\\.txt$", 1))
           .as("lang"),
         col("value").as("line"))
   }

@@ -42,6 +42,13 @@ class StreamingNearDupSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
+    // the cross-band dedup stage must leave ONE row per (doc, owner) —
+    // consumers no longer pay up to Bands× per pair
+    val dupCounts = spark.table("neardup_out")
+      .groupBy($"doc_id", $"owner_id").count()
+      .agg(max($"count")).as[Long].collect()(0)
+    assert(dupCounts == 1L, s"expected one candidate row per (doc, owner), max was $dupCounts")
+
     val edges = spark.table("neardup_out")
       .select($"doc_id", $"owner_id").distinct()
       .as[(Long, Long)].collect()

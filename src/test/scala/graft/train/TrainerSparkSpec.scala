@@ -55,12 +55,19 @@ class TrainerSparkSpec extends AnyFunSuite {
       java.util.Arrays.asList("die welt"))
     java.nio.file.Files.write(deu.resolve("part-00001.txt"),
       java.util.Arrays.asList("leute wissen"))
+    // stray non-.txt files inside a shard dir must get lang = "" (dropped),
+    // not be silently trained as deu (ADVICE r4). (_SUCCESS-style markers
+    // never even reach the reader — Spark's file index hides _ and .
+    // prefixed paths — so README.md is the live hazard.)
+    java.nio.file.Files.write(deu.resolve("README.md"),
+      java.util.Arrays.asList("docs not corpus"))
 
     val rows = Trainer.readLineCorpus(spark, dir.toString)
       .as[(String, String)].collect().toSet
-    assert(rows == Set(
+    assert(rows.filter(_._1.nonEmpty) == Set(
       ("eng", "the world"), ("eng", "people know"),
       ("deu", "die welt"), ("deu", "leute wissen")), rows)
+    assert(rows.filter(_._1.isEmpty).map(_._2) == Set("docs not corpus"), rows)
 
     // the reader's output feeds the trainer directly: same model as the
     // equivalent in-memory corpus
