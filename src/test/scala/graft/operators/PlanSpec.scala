@@ -108,13 +108,21 @@ class PlanSpec extends AnyFunSuite {
       "above-threshold fallback should plan the shuffle join\n" + p2)
   }
 
-  test("q17: verify path reuses the cached shingle table (one documents scan)") {
+  test("q17: broadcast-verify plan is shuffle- and join-free (pairs vs broadcast shingles)") {
+    // within the probe caps the verify is a mapPartitions over a
+    // parallelized pair range against broadcast shingle sets — the plan
+    // the query RETURNS must contain no exchange, no join, and no cache:
+    // all corpus-sized movement happened in the (already executed)
+    // banding jobs, and nothing stays pinned between calls (ADVICE r4)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val df = TextOps.q17MinHashPairs(spark, sf)
-    df.collect() // materialize the cache + finalize adaptive plan
+    df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // banding AND verify read the InMemoryRelation; the raw documents
-    // parquet appears in the cached plan only (one logical scan)
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-      "shingle table should be cached and reused\n" + p)
+    assert(!p.contains("Exchange"), "verify plan must not shuffle\n" + p)
+    assert(!p.contains("Join"), "verify plan must not join\n" + p)
+    assert(!p.contains("InMemoryTableScan") && !p.contains("TableCacheQueryStage"),
+      "q17 must not pin a cache (the r4 regression)\n" + p)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "no cache may outlive the q17 call")
   }
 }
