@@ -132,7 +132,9 @@ object TextOps {
     * banded candidate set provably covers every true pair and the
     * exact-Jaccard verify makes the output EQUAL to the brute-force
     * threshold set — which is what the DuckDB oracle computes.
-    * Expected background candidates ≈ Σ 32·J⁴ ≈ 0.5M at sf0.1 (bounded).
+    * Measured background candidates at sf0.1 (5k docs): 293k pairs, 196k
+    * after the q17 length filter — the pair set dwarfs the corpus, which
+    * is why q17 verifies from a broadcast instead of joining arrays.
     */
   final val MinHashPerms = 128
   final val Bands = 32
@@ -182,8 +184,8 @@ object TextOps {
     *     parallelism (q19 learned this in round 3).
     *  2. band-table SELF-JOIN on the bucket key → candidate pairs, with
     *     the EXACT length filter (J ≥ t ⇒ min(szA,szB) ≥ t·max) applied
-    *     from shingle counts carried on the band rows (cuts ~1/3 of the
-    *     background candidates before the distinct).
+    *     from shingle counts carried on the band rows (measured at
+    *     sf0.1: 293k → 196k candidate rows).
     *  3. bounded candidate probe (q19's df-probe pattern): pair list and
     *     candidate shingle sets pulled once, under hard caps, then
     *     verified map-side from a broadcast — ZERO shuffle of shingle
