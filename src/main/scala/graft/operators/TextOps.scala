@@ -78,19 +78,37 @@ object TextOps {
       .select(col("doc_id"), scrubCol(col("text")).as("scrubbed_text"))
 
   /** Repetition ratio: top word frequency / word count — the window-aggregate
-    * quality rule from the north_star. Explode + two-level aggregate; the
-    * shuffle is by (doc_id, word) then doc_id, both well-partitioned.
+    * quality rule from the north_star. The aggregation is entirely
+    * per-document (a doc's words never leave it), so it is a ZERO-SHUFFLE
+    * typed map with a reused per-partition hash map — the round-4 shape
+    * exploded every word into a (doc_id, word) row and paid two
+    * corpus-sized exchanges for an aggregation that never needed one.
+    * Tokenization matches the oracle exactly: split on single spaces,
+    * empty tokens kept (`"a  b".split(" ", -1)` ≡ SQL `split`/
+    * `string_split`), ratio rounded columnar like before.
     */
-  def q25Repetition(spark: SparkSession, sfDir: String): DataFrame =
+  def q25Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        round(max(col("c")).cast("double") / sum(col("c")), 4).as("repetition_ratio"),
-        sum(col("c")).as("n_words")
-      )
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new java.util.HashMap[String, Int](256)
+        it.map { case (id, text) =>
+          counts.clear()
+          val words = text.split(" ", -1)
+          var i = 0
+          var maxC = 0
+          while (i < words.length) {
+            val c = counts.merge(words(i), 1, (a, b) => a + b)
+            if (c > maxC) maxC = c
+            i += 1
+          }
+          (id, maxC.toDouble / words.length, words.length.toLong)
+        }
+      }
+      .toDF("doc_id", "ratio", "n_words")
+      .select($"doc_id", round($"ratio", 4).as("repetition_ratio"), $"n_words")
+  }
 
   // --- hashing kernels ----------------------------------------------------
 
