@@ -244,12 +244,20 @@ object TextOps {
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val sh = shingleHashes(text, ShingleSize)
-          val sig = minHashSignature(sh)
-          (0 until Bands).iterator.map { b =>
-            var h = 0x9e3779b97f4a7c15L ^ b
-            var r = 0
-            while (r < RowsPerBand) { h = mix(h ^ sig(b * RowsPerBand + r)); r += 1 }
-            (h, id, sh.length)
+          // zero-shingle docs can never reach J ≥ t > 0 (Jaccard with an
+          // empty set is 0), but their all-MaxValue signatures would put
+          // EVERY empty doc in the same 32 buckets — a mass-empty crawl
+          // would pair them quadratically just to discard each pair at
+          // verify. Skip banding them entirely; output unchanged.
+          if (sh.isEmpty && threshold > 0) Iterator.empty
+          else {
+            val sig = minHashSignature(sh)
+            (0 until Bands).iterator.map { b =>
+              var h = 0x9e3779b97f4a7c15L ^ b
+              var r = 0
+              while (r < RowsPerBand) { h = mix(h ^ sig(b * RowsPerBand + r)); r += 1 }
+              (h, id, sh.length)
+            }
           }
         }
       }
