@@ -92,6 +92,21 @@ class SimilaritySpec extends AnyFunSuite {
       s"missing=${(exact -- found).take(5)} spurious=${(found -- exact).take(5)}")
   }
 
+  test("k-means|| init is deterministic: identical centroids across runs") {
+    // the init samples with hash-seeded uniforms and sorts every
+    // collected set — two invocations over the same input must yield
+    // bit-identical centroids (q30's output determinism rides on this)
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+    val a = Similarity.kmeansParInit(spark, emb, 24, rounds = 2, wCells = 4)
+    val b = Similarity.kmeansParInit(spark, emb, 24, rounds = 2, wCells = 4)
+    assert(a.length == 24 && b.length == 24)
+    assert(a.indices.forall(i => java.util.Arrays.equals(a(i), b(i))),
+      "k-means|| init must be deterministic per input")
+  }
+
   test("q26 bucket width scales with corpus size") {
     assert(Similarity.planesFor(64) == 2)
     assert(Similarity.planesFor(4096) == 6)
