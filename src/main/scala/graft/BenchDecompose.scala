@@ -59,6 +59,25 @@ object BenchDecompose {
         println(s"DECOMP j_rows prefixes=${st.distPrefixes().count()} " +
           s"rawPairs=${st.distRawPairs().count()} candidates=${st.distCandidates().count()}")
         st.docs.unpersist()
+      case "jcold" =>
+        // Full COLD q19 calls (fresh q19Stages each time, the Bench shape)
+        // with per-stage durations — attributes the gap between the warm
+        // `j_full` stage above and the Bench-measured full-call time.
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            println(f"JSTAGE ${si.stageId}%3d tasks=${si.numTasks}%4d dur=$dur%6.2f ${si.name.take(100)}")
+          }
+        })
+        noop(graft.operators.TextOps.q19NgramJaccard(spark, path, 0.3)) // warm
+        (1 to 3).foreach { r =>
+          println(s"=== jcold run $r ===")
+          val t0 = System.nanoTime()
+          noop(graft.operators.TextOps.q19NgramJaccard(spark, path, 0.3))
+          println(f"DECOMP jcold_full ${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
       case "minhash" =>
         // q17 stage decomposition; `path` is an sf dir.
         import graft.operators.{Tables, TextOps}
