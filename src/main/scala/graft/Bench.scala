@@ -206,17 +206,32 @@ object Bench {
     // (all 24 samples ≥ 17.0 s vs 14.3 s quiet) while the low level
     // caught one super-quiet sample. Convergence (two nearly-equal
     // fastest samples) proves stability WITHIN the observed window, not
-    // that the window contained a quiet moment. So: while the ratio of
-    // minima sits below 0.90 and budget remains, keep adding HIGH-level
-    // fresh JVMs. This is truth-seeking, not gate-gaming — interference
-    // is one-sided, so extra samples can only move a min DOWN toward the
-    // quiet-host time; if the true ratio were below the gate, no amount
-    // of resampling could raise it.
+    // that the window contained a quiet moment — so a suspicious ratio
+    // triggers more sampling. The r5 verdict closed an asymmetry here:
+    // the old phase resampled ONLY the high level, which can only RAISE
+    // the measured ratio — honest just when the low min already sits at
+    // its quiet-host truth, previously guarded by nothing tighter than
+    // the generic 10 % gap target. Now (a) every second-phase round
+    // interleaves LOW-level JVMs alongside the high ones, so the
+    // estimator stays two-sided (a sharper low min can only LOWER the
+    // ratio), (b) the phase stops on MIN STABILITY — a full interleaved
+    // round improving neither level's min by > 0.5 % — never on the
+    // ratio crossing the gate constant, and (c) its ratio is headline
+    // only once the low level's min-gap ends < 3 %; both facts are
+    // reported in the JSON and BENCH.md either way.
     def effNow(): Double =
       lowSamples.min / (highSamples.min * (scaleHigh.toDouble / scaleLow))
-    while (effNow() < 0.90 && System.nanoTime() < topupDeadline && topups < 24) {
+    val secondPhase = effNow() < 0.90
+    var secondStable = false
+    while (secondPhase && !(secondStable && gapOf(lowSamples) < 0.03) &&
+           System.nanoTime() < topupDeadline && topups < 24) {
+      val befLow = lowSamples.min
+      val befHigh = highSamples.min
       highSamples = highSamples ++ pipelineRun(scaleHigh, reps = 3)
-      topups += 1
+      lowSamples = lowSamples ++ pipelineRun(scaleLow, reps = 2)
+      topups += 2
+      secondStable =
+        lowSamples.min >= befLow * 0.995 && highSamples.min >= befHigh * 0.995
     }
 
     val micro: Map[String, Double] =
@@ -259,6 +274,8 @@ object Bench {
       s""""min_gap_high":${math.round(gapOf(highSamples) * 1000.0) / 1000.0},""" +
       s""""min_gap_full":${math.round(gapOf(fullSamples) * 1000.0) / 1000.0},""" +
       s""""topup_jvms":$topups,""" +
+      s""""second_phase_used":$secondPhase,""" +
+      s""""second_phase_low_gap_ok":${gapOf(lowSamples) < 0.03},""" +
       s""""detector_micro":$microJson"""
     println(
       s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec",""" +

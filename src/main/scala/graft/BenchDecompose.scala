@@ -51,14 +51,14 @@ object BenchDecompose {
         // stages exclude the shingle cost after the first touch).
         val st = graft.operators.TextOps.q19Stages(spark, path, 0.3)
         println(s"DECOMP j_plan local=${st.usedLocalPlan}")
-        timed("j_shingle_cache") { st.docs.count(); () }
         timed("j_full") { noop(st.result) }
+        timed("j_shingle_cache") { st.docs().count(); () }
         timed("j_dist_prefixes") { noop(st.distPrefixes()) }
         timed("j_dist_rawpairs") { noop(st.distRawPairs()) }
         timed("j_dist_candidates") { noop(st.distCandidates()) }
         println(s"DECOMP j_rows prefixes=${st.distPrefixes().count()} " +
           s"rawPairs=${st.distRawPairs().count()} candidates=${st.distCandidates().count()}")
-        st.docs.unpersist()
+        st.docs().unpersist()
       case "jcold" =>
         // Full COLD q19 calls (fresh q19Stages each time, the Bench shape)
         // with per-stage durations — attributes the gap between the warm

@@ -61,13 +61,31 @@ object LangOps {
     * repeated queries via Detector.constructed.
     */
   private object DetectorPools {
-    private val pools =
-      new java.util.concurrent.ConcurrentHashMap[Long, ThreadLocal[Detector]]()
-    def get(bc: Broadcast[PackedModel]): Detector =
-      pools.computeIfAbsent(
-        bc.id,
-        _ => ThreadLocal.withInitial(() => new Detector(bc.value, DetectorConfig.default))
-      ).get()
+    // WeakHashMap keyed by broadcast IDENTITY (ADVICE r5): the old map
+    // keyed by bc.id was never evicted — every context restart broadcasts
+    // anew and the stale ThreadLocals (~20 KB of Detector per thread)
+    // were retained for the JVM lifetime — and broadcast ids RESTART per
+    // context, so a new context's id could alias an old entry. Weak keys
+    // evict an entry when its broadcast is GC'd (context stopped + plan
+    // dereferenced); the ThreadLocal initializer deliberately captures the
+    // MODEL, not the broadcast, so the value never pins its own key (the
+    // classic WeakHashMap self-retention trap). Per-call cost is one
+    // synchronized lookup — negligible against the µs-scale detection the
+    // SQL UDF wraps; the typed-map hot path (q21) never comes through
+    // here.
+    private val pools = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Broadcast[PackedModel], ThreadLocal[Detector]]())
+    def get(bc: Broadcast[PackedModel]): Detector = {
+      var pool = pools.get(bc)
+      if (pool == null) {
+        val model = bc.value
+        val fresh =
+          ThreadLocal.withInitial(() => new Detector(model, DetectorConfig.default))
+        val prev = pools.putIfAbsent(bc, fresh)
+        pool = if (prev != null) prev else fresh
+      }
+      pool.get()
+    }
   }
 
   /** Register `detect_lang(text)` for SQL access, returning

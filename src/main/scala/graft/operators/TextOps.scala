@@ -93,7 +93,10 @@ object TextOps {
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val counts = new java.util.HashMap[String, Int](256)
-        it.map { case (id, text) =>
+        // null text emits no row — mirrors the old explode(split(...))
+        // shape, which silently dropped null-text docs (ADVICE r5: the
+        // typed path NPE'd on one null row instead)
+        it.filter(_._2 != null).map { case (id, text) =>
           counts.clear()
           val words = text.split(" ", -1)
           var i = 0
@@ -291,19 +294,33 @@ object TextOps {
     // distributed fallback below runs instead. Nothing is persisted — no
     // cache outlives the call (the r4 ADVICE item).
     val candRdd = candidates.as[(Long, Long)].rdd
-    val perPartCap = math.max(1 << 16, (candCap / math.max(1, candRdd.getNumPartitions)) * 4)
+    // Per-partition slice of the TOTAL cap, NOT a fat floor × partitions:
+    // runJob materializes every partition's chunk on the driver before the
+    // total check runs, so the real driver pull is Σ perPartCap — with the
+    // old max(64k, cap/P·4) floor that was multi-GB at crawl-scale P even
+    // when the totals would fail and fall back (ADVICE r5). Now
+    // Σ perPartCap ≤ candCap + 64·P (an over-full partition returns an
+    // empty chunk + sentinel, never its buffer), and the whole pull also
+    // stays under spark.driver.maxResultSize instead of aborting the job.
+    // Small-P skew headroom comes from candCap/P being huge there; at
+    // large P a skewed partition now falls back — the safe direction.
+    val perPartCap = math.max(64, candCap / math.max(1, candRdd.getNumPartitions))
     val chunks = spark.sparkContext.runJob(candRdd, (it: Iterator[(Long, Long)]) => {
       val buf = new ArrayBuffer[(Long, Long)](1024)
-      while (it.hasNext && buf.length <= perPartCap) buf += it.next()
-      buf.toArray
+      var over = false
+      while (it.hasNext && !over) {
+        buf += it.next()
+        if (buf.length > perPartCap) over = true
+      }
+      if (over) (true, Array.empty[(Long, Long)]) else (false, buf.toArray)
     })
     val pairsArr: Array[(Long, Long)] =
-      if (chunks.exists(_.length > perPartCap) ||
-          chunks.iterator.map(_.length.toLong).sum > candCap) null
+      if (chunks.exists(_._1) ||
+          chunks.iterator.map(_._2.length.toLong).sum > candCap) null
       else {
         val seen = new java.util.HashSet[(Long, Long)](1 << 16)
         val out = new ArrayBuffer[(Long, Long)](1 << 16)
-        chunks.foreach(_.foreach { p => if (seen.add(p)) out += p })
+        chunks.foreach(_._2.foreach { p => if (seen.add(p)) out += p })
         out.toArray
       }
 
@@ -315,10 +332,12 @@ object TextOps {
         pairsArr.foreach { case (a, b) => idSet.add(a); idSet.add(b) }
         val bcIds = spark.sparkContext.broadcast(idSet)
         val docsRdd = docs.as[(Long, String)].rdd
+        // Per-partition slice of the total longs cap (same Σ-bounded
+        // discipline as perPartCap above: the old 1M-long floor × 4 made
+        // the driver pull P × floor at crawl-scale P); an overfull
+        // partition emits a bare sentinel, not its buffer.
         val perPartLongs =
-          math.max(1L << 20, shingleLongsCap / math.max(1, docsRdd.getNumPartitions) * 4)
-        // per-partition capped shingle fetch; an overfull partition emits
-        // a sentinel instead of unbounded arrays
+          math.max(1L << 12, shingleLongsCap / math.max(1, docsRdd.getNumPartitions))
         val shChunks = spark.sparkContext.runJob(docsRdd, (it: Iterator[(Long, String)]) => {
           val ids = bcIds.value
           val buf = new ArrayBuffer[(Long, Array[Long])](256)
@@ -332,7 +351,7 @@ object TextOps {
               if (longs > perPartLongs) over = true else buf += ((id, sh))
             }
           }
-          (over, buf.toArray)
+          if (over) (true, Array.empty[(Long, Array[Long])]) else (false, buf.toArray)
         })
         bcIds.destroy()
         val totalLongs = shChunks.iterator.map(_._2.iterator.map(_._2.length.toLong).sum).sum
@@ -340,6 +359,11 @@ object TextOps {
         else {
           val shMap = new scala.collection.mutable.LongMap[Array[Long]](pairsArr.length * 2)
           shChunks.foreach(_._2.foreach { case (id, sh) => shMap(id) = sh })
+          // DELIBERATELY not destroy()ed here: the returned plan is lazy,
+          // so the broadcast must outlive this call; once the caller's
+          // DataFrame is dereferenced the ContextCleaner GCs it. Lifetime
+          // is bounded by the caps (≤ ~128 MB, one per live q17 result) —
+          // do NOT add an eager destroy, it would break the lazy plan.
           val bc = spark.sparkContext.broadcast((pairsArr, shMap))
           // pairs stay DISTRIBUTED (they outnumber the docs ~40× at
           // sf0.1): each task verifies a slice against the broadcast
@@ -474,13 +498,16 @@ object TextOps {
 
   /** q19's intermediate plans, exposed for stage-level decomposition
     * (graft.BenchDecompose `jaccard` mode). The distributed stages are
-    * thunks: when the small-group fast path is chosen, constructing them
-    * (and the df broadcast probe job they require) is skipped entirely.
+    * thunks: when the small-group fast path is chosen, constructing them —
+    * including the shingle cache (`docs`) and the df broadcast probe job —
+    * is skipped entirely. `usedApproxDfOrder` reports (after a distributed
+    * stage has been forced) whether the prefix order came from the
+    * top-K-hot approximate tier rather than the full exact df broadcast.
     */
   private[graft] final case class JaccardStages(
-      docs: DataFrame, distPrefixes: () => DataFrame, distRawPairs: () => DataFrame,
+      docs: () => DataFrame, distPrefixes: () => DataFrame, distRawPairs: () => DataFrame,
       distCandidates: () => DataFrame, distResult: () => DataFrame,
-      result: DataFrame, usedLocalPlan: Boolean)
+      result: DataFrame, usedLocalPlan: Boolean, usedApproxDfOrder: () => Boolean)
 
   /** Fast-path bounds (per SOURCE group): the classic in-task ppjoin is
     * used only when every group fits one task's memory with margin —
@@ -597,12 +624,76 @@ object TextOps {
   /** q19 over an explicit (source, doc_id, text) DataFrame with
     * injectable hot-gram bounds — JaccardSpec drives a pathological
     * mass-boilerplate source through tiny bounds to prove the per-task
-    * posting buffer stays bounded while the output equals brute force.
+    * posting buffer stays bounded while the output equals brute force —
+    * and an injectable df-broadcast cap forcing the approximate-order
+    * tier.
     */
   private[graft] def q19StagesFromDocs(
       spark: SparkSession, docsIn: DataFrame, threshold: Double,
-      hotGramDf: Long, hotGramBlock: Long): JaccardStages = {
+      hotGramDf: Long, hotGramBlock: Long,
+      dfBroadcastMax: Int = 4 << 20 /* ~64 MB of (gram, df) pairs */): JaccardStages = {
     import spark.implicits._
+
+    // Adaptive plan choice from CHEAP PRUNED AGGS over the raw input — no
+    // shingle pass, no repartition, no cache: tier 1 reads ONLY the
+    // `source` column (columnar scans never touch text); the text-length
+    // tier runs just when the counts pass, i.e. exactly when the corpus is
+    // small enough that a text scan is cheap. 8·chars ≥ 8·|distinct
+    // grams|, so the byte check errs conservative (toward the distributed
+    // plan). The round-5 shape derived the same stats from a shingled+
+    // persisted corpus cache, which made the cache a cost of BOTH paths —
+    // the local path (which never needs it) paid the repartition exchange,
+    // the shingle pass, the persist write, and the cross-call cache
+    // handoff before its single real job could start.
+    val cnt = docsIn.groupBy($"source").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).collect()(0)
+    val smallGroups = cnt.isNullAt(0) || (cnt.getLong(0) <= SmallGroupMaxDocs && {
+      val by = docsIn.groupBy($"source").agg(sum(length($"text")).as("chars"))
+        .agg(max($"chars") * 8L).collect()(0)
+      by.isNullAt(0) || by.getLong(0) <= SmallGroupMaxBytes
+    })
+
+    // Local fast path: the WHOLE query is one exchange — raw (source,
+    // doc_id, text) hash-partitioned by source with an EXPLICIT partition
+    // count, sorted within partitions so each source's rows are
+    // consecutive, then shingled + classic-ppjoined one group at a time.
+    // NOT groupByKey/flatMapGroups: AQE coalesces that shuffle to ONE
+    // partition on a small corpus (1.5 MB at sf0.1 is far under the
+    // advisory size), which serializes every source's CPU-heavy ppjoin
+    // into a single task — measured 2.1 s in one task vs ~0.3 s across 32.
+    // A fixed-N repartition is exempt from AQE coalescing, and the
+    // sort-based consecutive grouping buffers ONE group at a time (the
+    // same discipline flatMapGroups has; a group is ≤ SmallGroupMaxBytes
+    // by the stats gate). Null text shingles to empty and can never pair.
+    lazy val localResult = {
+      val nParts = spark.sessionState.conf.numShufflePartitions
+      docsIn
+        .repartition(nParts, $"source")
+        .sortWithinPartitions($"source")
+        .as[(String, Long, String)]
+        .mapPartitions { it =>
+          val rows = it.buffered
+          new Iterator[Iterator[(Long, Long, Double)]] {
+            def hasNext: Boolean = rows.hasNext
+            def next(): Iterator[(Long, Long, Double)] = {
+              val src = rows.head._1
+              val group = new ArrayBuffer[(String, Long, Array[Long])](256)
+              while (rows.hasNext && rows.head._1 == src) {
+                val (s, id, text) = rows.next()
+                group += ((s, id,
+                  if (text == null) Array.emptyLongArray else shingleHashes(text, ShingleSize)))
+              }
+              localPPJoin(group.iterator, threshold)
+            }
+          }.flatten
+        }
+        .toDF("doc_a", "doc_b", "jaccard")
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+    }
+
+    // ---- distributed path (web-scale sources) — everything below is
+    // lazy and never constructed when the fast path carries the result.
+    //
     // repartition BEFORE shingling: the broadcast-df prefix plan below has
     // no exchange between the scan and the candidate join, so the scan's
     // split count caps parallelism for the whole chain (sf0.1 = one
@@ -616,55 +707,51 @@ object TextOps {
     // measured this query at 4× its quiet cost). At warehouse scale the
     // same reuse is a checkpointed intermediate table; the storage level
     // spills to disk so the cache never OOMs a task.
-    val docs = docsIn
-      .repartition($"doc_id")
-      .as[(String, Long, String)]
-      .map { case (src, id, text) => (src, id, shingleHashes(text, ShingleSize)) }
-      .toDF("source", "doc_id", "shingles")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // One cache may outlive this call (the returned plan is lazy), but
-    // never more than one: each call releases the previous call's cache
-    // (ADVICE r4 — Verify dumping all queries used to accumulate them).
-    locally {
-      val prev = lastQ19Cache.getAndSet(docs)
-      if (prev != null && (prev ne docs)) prev.unpersist(false)
+    lazy val docs = {
+      val d = docsIn
+        .repartition($"doc_id")
+        .as[(String, Long, String)]
+        .map { case (src, id, text) =>
+          (src, id, if (text == null) Array.emptyLongArray else shingleHashes(text, ShingleSize))
+        }
+        .toDF("source", "doc_id", "shingles")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // One cache may outlive this call (the returned plan is lazy), but
+      // never more than one: each call releases the previous call's cache
+      // (ADVICE r4 — Verify dumping all queries used to accumulate them).
+      val prev = lastQ19Cache.getAndSet(d)
+      if (prev != null && (prev ne d)) prev.unpersist(false)
+      d
     }
 
-    // Adaptive plan choice, decided from ONE tiny agg over the cached docs
-    // (which also materializes the cache): if every source group fits a
-    // task with margin, run the classic ppjoin locally per source —
-    // candidate pairs deduped at generation by a bitset, verify inline, so
-    // the whole query is ONE exchange (by source) instead of prefix-row
-    // shuffle + pair distinct + verify rejoin. The gram-parallel plan
-    // below remains the web-scale path (sources with millions of docs).
-    val stats = docs.groupBy($"source")
-      .agg(count(lit(1)).as("n"), sum(size($"shingles")).as("grams"))
-      .agg(max($"n"), max($"grams") * 8L)
-      .collect()(0)
-    val smallGroups = !stats.isNullAt(0) &&
-      stats.getLong(0) <= SmallGroupMaxDocs && stats.getLong(1) <= SmallGroupMaxBytes
-
-    val grams = docs.select($"source", $"doc_id", explode($"shingles").as("gram"))
-    val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    lazy val grams = docs.select($"source", $"doc_id", explode($"shingles").as("gram"))
+    lazy val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
 
     // Per-doc prefix under the global (df, gram) order. CORRECTNESS only
     // needs a total order SHARED by all documents — any order yields the
     // exact J ≥ t pair set; (df asc, gram asc) is the heuristic that
-    // minimizes candidates (rare grams land in prefixes). Two plans:
+    // minimizes candidates (rare grams land in prefixes). Two tiers, both
+    // broadcast-shaped (prefixes are selected INSIDE the shingle pass,
+    // zero extra shuffle):
     //
-    //  - df fits a broadcast (synthetic corpora; real corpora after
-    //    hot-gram capping): collect the (gram → df) table once and select
-    //    each doc's prefix INSIDE the shingle pass — zero extra shuffle.
-    //  - else: hash-agg the (df, gram) pairs back per doc (collect_list is
-    //    bounded by the doc's own distinct-gram count) and select the
-    //    prefix with one in-memory partial sort per doc.
+    //  - the full (gram → df) table fits the broadcast cap (synthetic
+    //    corpora; bounded real corpora): exact df order for every gram.
+    //  - else (100 TB): APPROXIMATE order — the top-K grams by EXACT df
+    //    (TakeOrdered over df ≥ 2; driver memory O(K)) keep their true
+    //    df, every unmapped gram is treated as df = 1 and ordered by its
+    //    hash. Output stays EXACT (the prefix filter needs any one total
+    //    order SHARED by all docs — this is one); only the candidate
+    //    count is heuristic, and the unmapped tail is provably cooler
+    //    than the K-th hottest gram, so posting lists stay bounded.
+    //    Hot-gram 2D blocking keys off the SAME map, so blocking
+    //    decisions agree across all docs sharing a gram.
     //
-    // Neither plan sorts globally: the round-2 `row_number` window shuffled
-    // AND fully sorted every (doc, gram, df) occurrence twice (rank + size
-    // windows), the q19 regression (2.9 → 6.5 s at sf0.1). At 100 TB the
-    // broadcast path still applies with an APPROXIMATE order (top-K hot
-    // grams by sampled df + hash order for the tail) — still exact output,
-    // only the candidate count is heuristic.
+    // Neither tier sorts the corpus globally: the round-2 `row_number`
+    // window shuffled AND fully sorted every (doc, gram, df) occurrence
+    // twice (rank + size windows), the q19 regression (2.9 → 6.5 s at
+    // sf0.1). The retired middle plan (hash-agg the (df, gram) pairs back
+    // per doc via collect_list) paid two gram-table exchanges for an
+    // order the top-K tier gets from one TakeOrdered.
     // Per record: sz = the doc's distinct-gram count; rem = sz − pos (the
     // positional filter's remaining-gram count); idx = whether the gram
     // also lies in the doc's shorter INDEX prefix (ppjoin's asymmetric
@@ -705,31 +792,40 @@ object TextOps {
           }
         }
     }
-    val dfBroadcastMax = 4 << 20 // ~64 MB of (gram, df) pairs
     def sourceHash(src: String): Long =
       graft.functions.FnvHash64.hashUtf8(
         org.apache.spark.unsafe.types.UTF8String.fromString(src))
+    @volatile var approxOrderUsed = false
     lazy val prefixes: org.apache.spark.sql.Dataset[(Long, Long, Int, Int)] = {
       // ONE job probes size and fetches: limit(max+1) truncating ⇔ too big
       val probe = df.limit(dfBroadcastMax + 1).as[(Long, Long)].collect()
-      if (probe.length <= dfBroadcastMax) {
-        val pairs = probe.sortBy(_._1)
-        val gs = pairs.map(_._1)
-        val ds = pairs.map(_._2)
-        val bc = spark.sparkContext.broadcast((gs, ds))
-        docs.as[(String, Long, Array[Long])].flatMap { case (src, id, sh) =>
-          val (g, d) = bc.value
-          selectPrefix(sourceHash(src), id, sh.map { x =>
-            (d(java.util.Arrays.binarySearch(g, x)), x)
-          })
+      val pairs =
+        if (probe.length <= dfBroadcastMax) probe.sortBy(_._1)
+        else {
+          // Approximate-order tier: exact df for the K hottest grams,
+          // df = 1 for the rest. df ≥ 2 prunes the singleton majority
+          // before the TakeOrdered (singletons get df = 1 anyway, so if
+          // the pruned set fits K the order is exact everywhere). The df
+          // agg subtree runs twice (probe + topK) rather than persisting
+          // a corpus-scale (gram, df) table — the same recompute-vs-pin
+          // trade the retired collect_list plan made, at half its
+          // exchanges.
+          approxOrderUsed = true
+          df.filter($"df" >= 2L)
+            .orderBy($"df".desc, $"gram".asc)
+            .limit(dfBroadcastMax)
+            .as[(Long, Long)].collect()
+            .sortBy(_._1)
         }
-      } else {
-        grams
-          .join(df, "gram")
-          .groupBy($"source", $"doc_id")
-          .agg(collect_list(struct($"df", $"gram")).as("dg"))
-          .as[(String, Long, Array[(Long, Long)])]
-          .flatMap { case (src, id, dg) => selectPrefix(sourceHash(src), id, dg) }
+      val gs = pairs.map(_._1)
+      val ds = pairs.map(_._2)
+      val bc = spark.sparkContext.broadcast((gs, ds))
+      docs.as[(String, Long, Array[Long])].flatMap { case (src, id, sh) =>
+        val (g, d) = bc.value
+        selectPrefix(sourceHash(src), id, sh.map { x =>
+          val i = java.util.Arrays.binarySearch(g, x)
+          (if (i >= 0) d(i) else 1L, x)
+        })
       }
     }
 
@@ -819,17 +915,10 @@ object TextOps {
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
     }
 
-    lazy val localResult = docs.as[(String, Long, Array[Long])]
-      .groupByKey(_._1)
-      .flatMapGroups { (_: String, it: Iterator[(String, Long, Array[Long])]) =>
-        localPPJoin(it, threshold)
-      }
-      .toDF("doc_a", "doc_b", "jaccard")
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-
-    JaccardStages(docs, () => prefixes.toDF(), () => rawPairs, () => candidates,
+    JaccardStages(() => docs, () => prefixes.toDF(), () => rawPairs, () => candidates,
       () => distResult,
-      if (smallGroups) localResult else distResult, usedLocalPlan = smallGroups)
+      if (smallGroups) localResult else distResult, usedLocalPlan = smallGroups,
+      usedApproxDfOrder = () => approxOrderUsed)
   }
 
   /** Document fingerprint, winnowing flavor: whole-content hash + the

@@ -115,8 +115,20 @@ object StreamingNearDup {
       // paying Bands× per pair.
       .repartition($"doc_id", $"owner_id")
       .mapPartitions { it =>
-        val seen = new scala.collection.mutable.HashSet[(Long, Long)]()
-        it.filter(c => seen.add((c.doc_id, c.owner_id)))
+        // survivor ts = MIN event ts per (doc, owner): keep-first made the
+        // emitted ts depend on partition iteration order when a pair
+        // collided in several bands with different band-row timestamps
+        // (ADVICE r5) — min is order-free, so replays and downstream
+        // consumers see stable output. Buffering is per micro-batch
+        // partition, the same rows the shuffle just materialized.
+        val best = new java.util.HashMap[(Long, Long), Candidate]()
+        it.foreach { c =>
+          val k = (c.doc_id, c.owner_id)
+          val prev = best.get(k)
+          if (prev == null || c.ts.getTime < prev.ts.getTime) best.put(k, c)
+        }
+        import scala.jdk.CollectionConverters._
+        best.values.iterator.asScala
       }
   }
 }

@@ -27,7 +27,7 @@ class JaccardSpec extends AnyFunSuite {
       val dist = rows(st.distResult())
       assert(local == dist,
         s"$sf: local ${local.size} vs dist ${dist.size}; diff=${(local diff dist) ++ (dist diff local)}")
-      st.docs.unpersist()
+      st.docs().unpersist()
     }
   }
 
@@ -72,7 +72,50 @@ class JaccardSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
     assert(maxPerKey <= 6 * 8 && maxPerKey < n / 4,
       s"blocked posting lists must stay bounded, got $maxPerKey rows in one key")
-    st.docs.unpersist()
+    st.docs().unpersist()
+  }
+
+  test("approximate df order (top-K hot + df=1 tail) stays exact and bounded") {
+    // Same boilerplate corpus as the blocking test, but with the df
+    // broadcast cap forced below the distinct-gram count so the prefix
+    // order comes from the approximate tier: the 6 universal grams
+    // (df = 240) land in the top-K map with their EXACT df (so 2D
+    // blocking still fires), while the df=2 pair-tail grams fall out of
+    // the map and are ordered as df = 1 by gram hash. Any shared total
+    // order keeps the output exact; the test is that candidates (posting
+    // rows per key) stay bounded too.
+    import spark.implicits._
+    val n = 240
+    val docsIn = (0 until n).map { i =>
+      val pair = i / 2
+      val tail = f"t${pair}%03dx${if (i % 2 == 0) "a" else "b"}"
+      ("web", i.toLong, s"BOILERPLT!$tail")
+    }.toDF("source", "doc_id", "text")
+
+    val st = TextOps.q19StagesFromDocs(
+      spark, docsIn, 0.3, hotGramDf = 8L, hotGramBlock = 8L, dfBroadcastMax = 8)
+    val dist = rows(st.distResult())
+    assert(st.usedApproxDfOrder(), "the tiny broadcast cap must force the approximate tier")
+
+    val docsArr = docsIn.as[(String, Long, String)].collect()
+      .map { case (_, id, t) => (id, TextOps.shingleHashes(t, TextOps.ShingleSize)) }
+    val brute = (for {
+      i <- docsArr.indices.iterator
+      j <- (i + 1) until docsArr.length
+      jac = TextOps.exactJaccard(docsArr(i)._2, docsArr(j)._2)
+      if jac >= 0.3
+    } yield (docsArr(i)._1, docsArr(j)._1, math.round(jac * 10000.0) / 10000.0)).toSet
+    assert(dist == brute, s"approx-order dist ${dist.size} vs brute ${brute.size}")
+    assert(brute.size >= n / 2)
+
+    // bounded candidates: hot grams still blocked (exact df from the
+    // map), unmapped tail grams have true df ≤ hotGramDf — no key may
+    // approach the unblocked worst case of all 240 rows
+    val maxPerKey = st.distPrefixes().groupBy("_1").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
+    assert(maxPerKey <= 6 * 8 && maxPerKey < n / 4,
+      s"approx order must keep posting lists bounded, got $maxPerKey")
+    st.docs().unpersist()
   }
 
   test("local plan emits ordered pairs with exact jaccard at a lower threshold") {
@@ -83,6 +126,6 @@ class JaccardSpec extends AnyFunSuite {
     val dist = rows(st.distResult())
     assert(local == dist, s"t=0.15: local ${local.size} vs dist ${dist.size}")
     assert(local.forall { case (a, b, j) => a < b && j >= 0.15 })
-    st.docs.unpersist()
+    st.docs().unpersist()
   }
 }
