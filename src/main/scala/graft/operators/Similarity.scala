@@ -497,6 +497,36 @@ object Similarity {
     }
   }
 
+  /** IVF codebook sizing (k, nProbe): the ⌈√n⌉ rule of thumb,
+    * HARD-clamped to `maxCodebook` centroids so the codebook broadcast
+    * stays inside its ~2 GB envelope (d = 64 doubles) no matter how
+    * large n grows — past 2⁴⁴ rows the cap binds and the inverted lists
+    * grow longer instead (the standard IVF size/recall trade). An
+    * EXPLICIT k request is clamped too: the cap is a memory-safety
+    * envelope, not a default. When the cap binds, nProbe is raised by
+    * the square root of the deficit ratio √n/k, capped at 4× and never
+    * beyond k lists: at constant nProbe the longer lists already probe
+    * MORE vectors (volume coverage compensates automatically — probed
+    * vectors ≈ nProbe·n/k grows with the deficit), so the √-bump only
+    * restores the cell-ranking margin that coarser quantization costs,
+    * while the caps keep probe cost bounded away from a degenerate
+    * probe-everything scan.
+    */
+  private[graft] def ivfSizing(
+      n: Long, kRequested: Int, nProbe: Int, maxCodebook: Int): (Int, Int) = {
+    val kRule =
+      if (kRequested > 0) kRequested.toLong
+      else math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val k = math.min(kRule, maxCodebook.toLong).toInt
+    val probe =
+      if (kRule <= k) nProbe
+      else {
+        val bump = math.ceil(nProbe * math.sqrt(kRule.toDouble / k)).toLong
+        math.min(k.toLong, math.min(nProbe * 4L, bump)).toInt
+      }
+    (k, probe)
+  }
+
   /** IVF (inverted-file) ANN: L2-normalize → k-means|| seed centroids
     * (kmeansParInit, distributed d²-weighted sampling — VERDICT r4 #4)
     * → `lloydSteps` distributed Lloyd refinements → inverted lists keyed
@@ -532,8 +562,9 @@ object Similarity {
     *  - driver materialization is ONLY the codebook itself: O(√n·d)
     *    doubles (the IVF structure is by construction broadcast-sized:
     *    512 MB at n = 10¹², d = 64 — large but a bounded, one-off
-    *    broadcast; beyond that k is capped below √n, trading list length
-    *    for codebook size, which this auto-sizing does NOT yet do).
+    *    broadcast; past 2⁴⁴ rows `ivfSizing` caps k below √n, trading
+    *    list length for codebook size and raising nProbe to compensate —
+    *    see its scaladoc for the exact rule).
     */
   def q30IvfAnn(
       spark: SparkSession,
@@ -544,7 +575,8 @@ object Similarity {
       wCells: Int = 4,
       lloydSteps: Int = 1,     // more steps available; 1 measured best at fixture scale
       initRounds: Int = 2,     // k-means|| sample-and-weight rounds
-      spillFactor: Double = 1.5 // border vectors join the runner-up list too
+      spillFactor: Double = 1.5, // border vectors join the runner-up list too
+      maxCodebook0: Int = 4 << 20 // codebook cap; injectable so the spec can force it to bind
   ): DataFrame = {
     import spark.implicits._
 
@@ -573,18 +605,15 @@ object Similarity {
         (id, u)
       }
       .toDF("vec_id", "v")
-    // √n capped at 2^22 centroids: the codebook is the ONLY driver/broadcast
-    // materialization, and the cap bounds it at ~2 GB (d = 64 doubles)
-    // regardless of n — past 2^44 rows the inverted lists grow longer
-    // instead (the standard IVF size/recall trade; raise nProbe to
-    // compensate)
-    val maxCodebook = 4 << 20
-    val kCentroids =
-      if (kCentroids0 > 0) kCentroids0
-      else math.min(maxCodebook.toLong,
-        // count the RAW scan (parquet metadata), not the normalize map
-        math.max(16L, math.ceil(math.sqrt(
-          Tables.embeddings(spark, sfDir).count().toDouble)).toLong)).toInt
+    // k and nProbe via ivfSizing: ⌈√n⌉ rule of thumb, hard-capped so the
+    // codebook broadcast stays inside its ~2 GB envelope regardless of n,
+    // with nProbe raised when the cap binds. The count reads the RAW scan
+    // (parquet metadata), not the normalize map; it is skipped entirely
+    // when the caller pins k.
+    val nRows =
+      if (kCentroids0 > 0) 0L
+      else Tables.embeddings(spark, sfDir).count()
+    val (kCentroids, nProbeSized) = ivfSizing(nRows, kCentroids0, nProbe, maxCodebook0)
 
     // Small-k degeneration guards (constants — both wash out at scale):
     // below 4096 centroids the two-level assignment searches ALL coarse
@@ -596,8 +625,8 @@ object Similarity {
     val k2Cells = math.max(1, math.ceil(math.sqrt(kCentroids.toDouble)).toInt)
     val wAssign = if (kCentroids <= 4096) k2Cells else wCells
     val nProbeEff =
-      if (kCentroids <= 256) math.max(nProbe, math.ceil(kCentroids / 3.0).toInt)
-      else nProbe
+      if (kCentroids <= 256) math.max(nProbeSized, math.ceil(kCentroids / 3.0).toInt)
+      else nProbeSized
 
     // k-means|| init (see kmeansParInit): distributed d²-weighted
     // sampling rounds; the only driver materialization is the candidate

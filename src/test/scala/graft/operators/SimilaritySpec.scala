@@ -61,6 +61,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall@1 $recall below floor")
   }
 
+  test("ivfSizing: codebook cap binds past 2^44 rows, bumping nProbe boundedly") {
+    // small n: rule of thumb untouched, nProbe passes through
+    assert(Similarity.ivfSizing(500L, 0, 6, 4 << 20) == (23, 6))
+    // explicit k under the cap: passes through
+    assert(Similarity.ivfSizing(0L, 100, 6, 4 << 20) == (100, 6))
+    // explicit k OVER the cap: clamped (the cap is a memory envelope,
+    // not a default) and nProbe bumped by √ratio
+    assert(Similarity.ivfSizing(0L, 16 << 20, 6, 4 << 20) == (4 << 20, 12))
+    // auto sizing past 2^44 rows: √n = 2^23 > cap 2^22 → k clamps to the
+    // cap; deficit ratio 2 → nProbe ⌈6·√2⌉ = 9
+    assert(Similarity.ivfSizing(1L << 46, 0, 6, 4 << 20) == (4 << 20, 9))
+    // extreme deficit: the bump saturates at 4× nProbe, never a scan
+    assert(Similarity.ivfSizing(1L << 62, 0, 6, 4 << 20) == (4 << 20, 24))
+    // tiny cap with tiny k: the bump can never exceed k lists
+    assert(Similarity.ivfSizing(1L << 40, 0, 6, 4) == (4, 4))
+  }
+
+  test("q30 IVF ANN under a forced tiny codebook cap: recall holds") {
+    // Force the cap to BIND at fixture scale (√500 ≈ 23 → k = 8): lists
+    // get ~3× longer and nProbe is bumped — the capped structure must
+    // still answer with recall@1 ≥ 0.9, evidencing the >2^44-row shape
+    // end-to-end rather than only in the sizing arithmetic.
+    import spark.implicits._
+    val ann = Similarity.q30IvfAnn(spark, sf, maxCodebook0 = 8)
+      .filter($"rnk" === 1)
+      .select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ann.nonEmpty)
+    val hits = ann.count { case (q, got) => exactBest.get(q).contains(got) }
+    val recall = hits.toDouble / ann.size
+    info(s"IVF capped-codebook recall@1 = $recall ($hits/${ann.size})")
+    assert(recall >= 0.9, s"IVF capped-codebook recall@1 $recall below floor")
+  }
+
   test("cosine near-dup pairs: LSH output equals the brute-force threshold set") {
     import spark.implicits._
     // planted corpus: 300 random unit-ish vectors + 20 noisy near-copies
