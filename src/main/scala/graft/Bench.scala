@@ -332,12 +332,15 @@ object Bench {
          |sampling whichever level's min-vs-2nd-min gap exceeds 10% until
          |every level's min is corroborated by a second nearly-equal
          |sample; then, if the ratio of minima still sits below 0.90, a
-         |SECOND top-up phase keeps adding high-level JVMs within the
-         |same time budget (~11 min total) — convergence proves stability
-         |within the observed window, not that the window contained a
-         |quiet moment, and with one-sided interference extra samples can
-         |only move a min toward the quiet-host truth (they could never
-         |raise a genuinely sub-gate ratio). This run used $topups
+         |SECOND top-up phase runs within the same time budget (~11 min
+         |total) — convergence proves stability within the observed
+         |window, not that the window contained a quiet moment. The
+         |second phase interleaves LOW-level JVMs alongside the
+         |high-level ones (so it stays two-sided: a sharper low min can
+         |only LOWER the ratio) and stops on MIN STABILITY — a full
+         |interleaved round improving neither level's min — never on the
+         |ratio crossing the gate constant; its ratio is headline only
+         |once the low level's min-gap ends < 3%. This run used $topups
          |top-up JVMs. A >10% residual gap below means that level's min
          |is still a single uncorroborated sample.
          |Raw samples (s):
@@ -360,7 +363,14 @@ object Bench {
          |${f"${(second(fullSamples) / tFull - 1) * 100}%.1f"}% (full width)
          |after $topups adaptive top-up JVMs (target < 10% each) — a
          |large gap means that level's min has NOT converged and the
-         |efficiency figure should be read with suspicion. Per-round paired
+         |efficiency figure should be read with suspicion. Second top-up
+         |phase ${if (secondPhase) "USED" else "not needed (ratio ≥ 0.90 after phase 1)"};
+         |low-level min-gap precondition for a headline second-phase ratio
+         |(< 3%): ${f"${gapOf(lowSamples) * 100}%.1f"}% — ${
+           if (!secondPhase) "n/a (phase skipped)"
+           else if (gapOf(lowSamples) < 0.03) "MET"
+           else "NOT met; read the efficiency as a lower-confidence figure"}.
+         |Per-round paired
          |efficiencies: ${pairEffs.map(e => f"$e%.3f").mkString(", ")}
          |(median ${f"$effPairedMedian%.3f"} — dispersion indicator, waves
          |can straddle one side of a pair). Target ≥ 0.8; efficiency =
