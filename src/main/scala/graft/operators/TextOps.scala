@@ -235,8 +235,15 @@ object TextOps {
       spark: SparkSession, sfDir: String, threshold: Double,
       candCap: Int, shingleLongsCap: Long): DataFrame = {
     import spark.implicits._
+    // fixed-N repartition: the one-file parquet split would otherwise cap
+    // the signature pass's parallelism — and an N-less repartition(col)
+    // is AQE-coalescible, which on a small corpus folds the CPU-heavy
+    // signature stage back into ONE task (q19 measured the same effect:
+    // 0.40 s single-task vs ~0.1 s across 32; AQE sizes by bytes and
+    // cannot see the 128-perm CPU cost per row)
     val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text").repartition($"doc_id")
+      .select($"doc_id", $"text")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
 
     // Band bucket keys: the band index is folded into the hash seed, so
     // one mixed 64-bit key replaces the (band, hash) pair — a cross-band

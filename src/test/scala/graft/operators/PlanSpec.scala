@@ -108,6 +108,24 @@ class PlanSpec extends AnyFunSuite {
       "above-threshold fallback should plan the shuffle join\n" + p2)
   }
 
+  test("q17/q19 CPU-heavy passes ride fixed-N repartitions (AQE cannot fold them)") {
+    // AQE sizes shuffle partitions by BYTES; the signature/ppjoin stages
+    // are CPU-bound over tiny bytes, so an N-less repartition(col) gets
+    // coalesced to a single task on any small corpus — measured on q19:
+    // 2.1 s with every source's ppjoin serialized into one task vs
+    // ~0.3 s across 32. A fixed-N repartition plans as REPARTITION_BY_NUM,
+    // which AQE must respect; this pins both queries to that origin.
+    val q17p = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, 0, 0L)
+      .queryExecution.executedPlan.toString
+    assert(q17p.contains("REPARTITION_BY_NUM"),
+      "q17 banding must pin its partition count\n" + q17p)
+    val st = TextOps.q19Stages(spark, sf, 0.3)
+    assert(st.usedLocalPlan, "sf0.001 must choose the local ppjoin plan")
+    val q19p = st.result.queryExecution.executedPlan.toString
+    assert(q19p.contains("REPARTITION_BY_NUM"),
+      "q19 local ppjoin must pin its partition count\n" + q19p)
+  }
+
   test("q17: broadcast-verify plan is shuffle- and join-free (pairs vs broadcast shingles)") {
     // within the probe caps the verify is a mapPartitions over a
     // parallelized pair range against broadcast shingle sets — the plan
