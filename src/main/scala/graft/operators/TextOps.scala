@@ -701,11 +701,15 @@ object TextOps {
     // ---- distributed path (web-scale sources) — everything below is
     // lazy and never constructed when the fast path carries the result.
     //
-    // repartition BEFORE shingling: the broadcast-df prefix plan below has
-    // no exchange between the scan and the candidate join, so the scan's
-    // split count caps parallelism for the whole chain (sf0.1 = one
-    // parquet file = one core without this; at 100 TB the scan itself has
-    // the splits and this exchange coalesces nothing of note)
+    // fixed-N repartition BEFORE shingling: the broadcast-df prefix plan
+    // below has no exchange between the scan and the candidate join, so
+    // the scan's split count caps parallelism for the whole chain (sf0.1
+    // = one parquet file = one core without this; at 100 TB the scan
+    // itself has the splits and this exchange coalesces nothing of
+    // note). Fixed N because an N-less repartition(col) is
+    // AQE-coalescible by BYTES, which folds the CPU-heavy shingle pass
+    // to one task on a small corpus (the q17/q19-local lesson,
+    // plan-asserted in PlanSpec).
     //
     // PERSISTED: four downstream consumers (df agg + probe, the prefix
     // pass, and both sides of the verify rejoin) would otherwise re-run
@@ -716,7 +720,7 @@ object TextOps {
     // spills to disk so the cache never OOMs a task.
     lazy val docs = {
       val d = docsIn
-        .repartition($"doc_id")
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
         .as[(String, Long, String)]
         .map { case (src, id, text) =>
           (src, id, if (text == null) Array.emptyLongArray else shingleHashes(text, ShingleSize))
