@@ -162,9 +162,17 @@ object Trainer {
 
     val langIds = ScriptLang.all.map(l => l.code -> l.id).toMap
 
-    // (lang, size, ngram) occurrences; size 1..5 char windows, 0 = wordgram
+    // (lang, size, ngram) occurrences; size 1..5 char windows, 0 = wordgram.
+    // Fixed-N round-robin repartition before the window explosion: the
+    // CPU-heavy flatMap+partial-agg stage otherwise runs at the SCAN's
+    // split count (a one-file corpus = one task, measured 0.76 s serial
+    // at sf0.1), and an N-less repartition would be AQE-coalesced by
+    // bytes right back to that. Counting is partitioning-invariant
+    // (integer sums), so TrainerSparkSpec's distributed ≡ local equality
+    // is untouched.
     val grams = corpus
       .select($"lang", $"line")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .as[(String, String)]
       .flatMap { case (lang, line) =>
         langIds.get(lang) match {
