@@ -234,11 +234,19 @@ object Relational {
     * lineitem — an executor OOM at 100 TB, and 47 s at sf0.1).
     *
     * Shape: groupBy(group, value).count() — map-side combined, the shuffle
-    * carries one row per DISTINCT (group, value) — then a window over the
-    * distinct values per group assigns cumulative ranks, and each target
-    * quantile interpolates between the two values bracketing rank
-    * (n−1)·q+1, exactly DuckDB's quantile_cont. Per-group work is bounded
-    * by distinct values, not rows.
+    * carries one row per DISTINCT (group, value) — then ONE ordered window
+    * over the distinct values per group assigns cumulative ranks (the
+    * per-(group, measure) total comes from a 6-row aggregate broadcast
+    * back, not a second unordered-frame window: that frame buffers every
+    * group's rows before emitting — a spill at scale — for 6 numbers), and
+    * each target quantile interpolates between the two values bracketing
+    * rank (n−1)·q+1, exactly DuckDB's quantile_cont. Per-group work is
+    * bounded by distinct values, not rows; the cumulative sort is
+    * single-reducer PER GROUP, the one deliberate bound left: past
+    * per-task memory on a continuous measure the escalation is a
+    * range-partitioned prefix sum (sample boundaries, per-partition local
+    * cumsums, driver prefix of the ≤ N·groups partial totals), which buys
+    * nothing at any tested scale and costs two extra jobs per query.
     */
   def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -254,11 +262,23 @@ object Relational {
       expr("stack(2, 'price', cast(l_extendedprice as double), " +
         "'qty', cast(l_quantity as double)) as (tag, v)"))
     val vc = unp.groupBy(col("g"), col("tag"), col("v")).agg(count(lit(1)).as("cnt"))
+    // n per (g, tag) via a TINY aggregate broadcast-joined back, not a
+    // second unordered window: the wAll window paid a full extra pass
+    // over every distinct value for 6 rows of output (vc's exchange is
+    // reused across both consumers — AQE ReuseExchange — so the totals
+    // branch costs one tiny exchange, not a recount of the corpus).
+    val totals = vc.groupBy(col("g"), col("tag")).agg(sum(col("cnt")).as("n"))
     val wOrd = Window.partitionBy(col("g"), col("tag")).orderBy(col("v"))
-    val wAll = Window.partitionBy(col("g"), col("tag"))
+    // fixed-N repartition on the window's clustering keys: it satisfies
+    // the window's distribution requirement (no extra exchange) while
+    // being AQE-exempt — the byte-sized coalesce otherwise folded the 6
+    // (g, tag) groups into 2 tasks, serializing the per-group cumulative
+    // sort (the q17/q19 lesson; groups are independent, parallelism is
+    // bounded by group count either way)
     val ranked = vc
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("g"), col("tag"))
       .withColumn("cum", sum(col("cnt")).over(wOrd))
-      .withColumn("n", sum(col("cnt")).over(wAll))
+      .join(broadcast(totals), Seq("g", "tag"))
 
     // 1-based continuous rank: pos = (n-1)*q + 1; the quantile sits
     // between the values at ranks floor(pos) and ceil(pos)
