@@ -233,20 +233,25 @@ object Relational {
     * reducer's memory: with 3 groups, 3 tasks each hold a third of
     * lineitem — an executor OOM at 100 TB, and 47 s at sf0.1).
     *
-    * Shape: groupBy(group, value).count() — map-side combined, the shuffle
-    * carries one row per DISTINCT (group, value) — then ONE ordered window
-    * over the distinct values per group assigns cumulative ranks (the
-    * per-(group, measure) total comes from a 6-row aggregate broadcast
-    * back, not a second unordered-frame window: that frame buffers every
-    * group's rows before emitting — a spill at scale — for 6 numbers), and
-    * each target quantile interpolates between the two values bracketing
-    * rank (n−1)·q+1, exactly DuckDB's quantile_cont. Per-group work is
-    * bounded by distinct values, not rows; the cumulative sort is
-    * single-reducer PER GROUP, the one deliberate bound left: past
-    * per-task memory on a continuous measure the escalation is a
-    * range-partitioned prefix sum (sample boundaries, per-partition local
-    * cumsums, driver prefix of the ≤ N·groups partial totals), which buys
-    * nothing at any tested scale and costs two extra jobs per query.
+    * Shape: groupBy(group, value).count() — the shuffle carries one row
+    * per DISTINCT (group, value) — then the per-(group, measure) total
+    * (a 6-row aggregate off the same exchange, broadcast back) joins onto
+    * every value-count row, and a sorted STREAMING pass assigns cumulative
+    * ranks with O(1) state per group, emitting ONLY the rows whose
+    * [cum−cnt, cum) span covers a target rank (≤ 6 per group/measure);
+    * each target quantile then interpolates between its two bracketing
+    * values — rank (n−1)·q+1, exactly DuckDB's quantile_cont. A window
+    * cumsum would buffer each partition's full distinct-value set in
+    * WindowExec's row array (a spill at scale) and hand ALL ranked rows
+    * to the aggregate; the streaming pass replaces that with a constant
+    * per-group cursor and an ~18-row aggregate input (measured 2.07 →
+    * 1.79 s warm at sf0.1, interleaved A/B). Per-group work is bounded by
+    * distinct values, not rows; the cumulative sort is single-reducer PER
+    * GROUP, the one deliberate bound left: past per-task memory on a
+    * continuous measure the escalation is a range-partitioned prefix sum
+    * (sample boundaries, per-partition local cumsums, driver prefix of
+    * the ≤ N·groups partial totals), which buys nothing at any tested
+    * scale and costs two extra jobs per query.
     */
   def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -261,24 +266,76 @@ object Relational {
       col("l_returnflag").as("g"),
       expr("stack(2, 'price', cast(l_extendedprice as double), " +
         "'qty', cast(l_quantity as double)) as (tag, v)"))
-    val vc = unp.groupBy(col("g"), col("tag"), col("v")).agg(count(lit(1)).as("cnt"))
+    // fixed-N repartition BELOW the value-counts agg: the sf0.1 parquet has
+    // 3 splits, so without it the partial agg hashes 1.2 M stacked rows
+    // (near-unique prices — the partial barely compresses) inside 3 scan
+    // tasks (measured 0.6 s of the 2.1 s quiet total). The explicit
+    // exchange provides exactly the distribution the agg needs — no second
+    // exchange appears — while moving every hash probe into 32 post-shuffle
+    // tasks; the scan stage is left doing scan + stack + shuffle write of
+    // ~25 MB. At cluster scale the scan has real parallelism and this
+    // exchange is the same one ENSURE_REQUIREMENTS would have inserted.
+    val vc = unp
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("g"), col("tag"), col("v"))
+      .groupBy(col("g"), col("tag"), col("v")).agg(count(lit(1)).as("cnt"))
     // n per (g, tag) via a TINY aggregate broadcast-joined back, not a
     // second unordered window: the wAll window paid a full extra pass
     // over every distinct value for 6 rows of output (vc's exchange is
     // reused across both consumers — AQE ReuseExchange — so the totals
     // branch costs one tiny exchange, not a recount of the corpus).
     val totals = vc.groupBy(col("g"), col("tag")).agg(sum(col("cnt")).as("n"))
-    val wOrd = Window.partitionBy(col("g"), col("tag")).orderBy(col("v"))
-    // fixed-N repartition on the window's clustering keys: it satisfies
-    // the window's distribution requirement (no extra exchange) while
-    // being AQE-exempt — the byte-sized coalesce otherwise folded the 6
-    // (g, tag) groups into 2 tasks, serializing the per-group cumulative
-    // sort (the q17/q19 lesson; groups are independent, parallelism is
-    // bounded by group count either way)
-    val ranked = vc
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("g"), col("tag"))
-      .withColumn("cum", sum(col("cnt")).over(wOrd))
+
+    // the quantiles wanted, grouped by measure tag — ONE definition shared
+    // by the streaming bracketing pass and the interpolation aggregates so
+    // their rank arithmetic can never diverge
+    val quantiles = Seq(("price", 0.5, "p50_raw"), ("price", 0.95, "p95_raw"),
+      ("qty", 0.25, "qty_p25_raw"))
+    val targetsByTag: Map[String, Array[Double]] =
+      quantiles.groupBy(_._1).map { case (t, qs) => t -> qs.map(_._2).toArray }
+
+    // Cumulative ranks via a STREAMING per-group pass, not WindowExec: the
+    // window buffered every partition's rows in an UnsafeRowArray (spill
+    // past task memory at scale) and handed all ~600k ranked rows to the
+    // interpolation aggregate — for ≤ 6 bracketing rows per (g, tag). With
+    // n joined onto each row first (broadcast, codegen), the target ranks
+    // are known INSIDE the pass, so it emits only rows whose [cum−cnt, cum)
+    // span covers some target rank — O(1) memory per group, and the final
+    // aggregate reads ~18 rows instead of the full distinct-value set. The
+    // per-group cumsum stays single-reducer (sortWithinPartitions behind a
+    // fixed-N repartition on (g, tag) — AQE-exempt, the q17/q19 lesson);
+    // parallelism is bounded by group count either way.
+    import spark.implicits._
+    val bracketed = vc
       .join(broadcast(totals), Seq("g", "tag"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("g"), col("tag"))
+      .sortWithinPartitions(col("g"), col("tag"), col("v"))
+      .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
+      .as[(String, String, Double, Long, Long)]
+      .mapPartitions { it =>
+        var curG: String = null
+        var curTag: String = null
+        var cum = 0L
+        var ranks: Array[Long] = Array.emptyLongArray
+        it.flatMap { case (g, tag, v, cnt, n) =>
+          if (g != curG || tag != curTag) {
+            curG = g; curTag = tag; cum = 0L
+            // same arithmetic as qAgg below: pos = (n−1)·q, ranks
+            // floor(pos)+1 and ceil(pos)+1 (Catalyst floor/ceil on a
+            // double yield BIGINT, matched by toLong here)
+            ranks = targetsByTag(tag).flatMap { q =>
+              val pos = (n - 1) * q
+              Array(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+            }
+          }
+          cum += cnt
+          val lo = cum - cnt
+          if (ranks.exists(r => lo < r && cum >= r))
+            Iterator.single((g, tag, v, cnt, n, cum))
+          else Iterator.empty
+        }
+      }
+      .toDF("g", "tag", "v", "cnt", "n", "cum")
 
     // 1-based continuous rank: pos = (n-1)*q + 1; the quantile sits
     // between the values at ranks floor(pos) and ceil(pos)
@@ -293,7 +350,7 @@ object Relational {
       (loVal + (hiVal - loVal) * fr).as(name)
     }
 
-    ranked
+    bracketed
       .groupBy(col("g").as("l_returnflag"))
       .agg(
         qAgg("price", 0.5, "p50_raw"),

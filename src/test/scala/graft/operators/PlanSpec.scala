@@ -81,7 +81,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("percentile"), p)
     assert(!p.contains("ObjectHashAggregate"), p)
     assert(p.contains("HashAggregate"), p) // the distinct-value count agg
-    assert(p.contains("Window"), p)        // cumulative ranks over distinct values
+    // round-6: cumulative ranks come from the streaming bracketing pass
+    // (O(1) state per group), NOT WindowExec — whose row array buffers each
+    // partition's full distinct-value set (the spill this spec guards out)
+    assert(!p.contains("Window"), "no whole-partition-buffering window\n" + p)
+    assert(p.contains("MapPartitions"), "streaming bracketing pass\n" + p)
     // round-4 fusion: both measure columns share ONE unpivoted pass. The
     // round-6 totals branch (6-row aggregate broadcast-joined back) hangs a
     // SECOND consumer off the value-counts exchange, so the scale property
