@@ -474,6 +474,24 @@ object GoldenFixtures {
     ("kor", "나는 학교 친구 사랑 hello", "raw"),
     ("tha", "ภาษา บ้าน น้ำ เวลา water", "raw"),
     ("eng", "the people know the world 물", "raw"),
+    // seventeenth batch: Slovenian — the one major living language that
+    // was still unmodeled; races hrv/bos/srp_Latn (and the wider Latin
+    // set) on slv-unique closed-class forms (jaz/in/tudi/če/kje) and
+    // ekavian-LOOKING reflexes that are still string-distinct from
+    // srp_Latn's (lep vs lepo, človek vs čovek); slv's alphabet has no
+    // ć/đ, which the trainer's alphabet filter enforces on the vocab
+    ("slv", "slovenščina", "raw"),
+    ("slv", "otrok in hiša", "raw"),
+    ("slv", "zakaj ne veš kje sem", "raw"),
+    // batch 17 continued: cross-FAMILY languages in shared Indic scripts
+    // (the snd_Deva pattern) — Meitei (Tibeto-Burman) in Bengali script
+    // races ben/asm; Santali (Munda) in Devanagari races the 8-language
+    // Devanagari cluster. Wholly disjoint vocabularies make these the
+    // most separable races in the registry.
+    ("mni_Beng", "মৈতৈলোন", "raw"),
+    ("mni_Beng", "ঐখোয় মণিপুরী", "raw"),
+    ("sat_Deva", "सान्ताड़ी", "raw"),
+    ("sat_Deva", "इञ ओड़ाक् दाक्", "raw"),
     // reordered-only cases (tests/detector.rs:162-185)
     ("arb", "والموضوع", "reordered"),
     ("ces", "vývoj", "reordered"),
@@ -1266,5 +1284,32 @@ object GoldenFixtures {
     "hak" -> v("""𠊎 佢 佢兜 吾 若 毋係 麼个 恁樣 恁仔 客家 屋下 阿姆 阿爸 食朝
       食晝 食夜 睡目 做事 天時 熱頭 月光 禾埕 灶下 筷仔 細人 老人家 恬恬 遽遽
       正經 還有 麼人 仰般"""),
+    // seventeenth batch: Slovenian. Form-distinct against the whole
+    // modeled Latin race: unique closed-class words (jaz, in, tudi, če,
+    // kje, zdaj), slv-only content forms (otrok, hiša, teden, dežela),
+    // and reflexes that differ as STRINGS from srp_Latn's ekavian set
+    // (lep/lepo, človek/čovek, ljudje/ljudi). "kaj" and "bom" stay out
+    // (epo has kaj, por has bom); alphabet is a–z + čšž only.
+    "slv" -> v("""slovenski slovenija slovenščina jaz ti on ona mi vi oni ne in za z na od
+      en dva tri štiri leto dan noč hiša voda ljudje čas vedeti dežela delo majhen človek
+      otrok šola teden danes jutri zdaj tudi lahko kje kdo zakaj prosim če ker sem sva je
+      lep vem veš govorim"""),
+    // Manipuri (Meitei) in the Bengali script — the official script for
+    // most of the 18th–20th centuries and still used by Manipuri
+    // newspapers. Tibeto-Burman, so the vocabulary shares nothing with
+    // ben/asm (Indo-Aryan): the race separates on wholly disjoint word
+    // forms (numerals ama/ani/ahum, pronouns ei/nang/makhoi) and n-gram
+    // shapes (ৈত, ৌব, খোয়) that Bengali/Assamese never produce.
+    "mni_Beng" -> v("""মণিপুরী মৈতৈলোন ঐ নঙ মহাক ঐখোয় নখোয় মখোয় নত্তে অমা অনি অহুম
+      মরি মঙা য়ুম ঈশিং মী মতম নুমিত অহিং চহি লৈবাক ফজবা খঙবা লোন ওয়া চাবা চৎপা
+      লাকপা তৌবা থবক অচৌবা অপীকপা অনৌবা নুংশিবা ইমা ইপা অঙাং নুপী নুপা লাইরিক"""),
+    // Santali in Devanagari — the script used for Santali schooling in
+    // Jharkhand/Bihar alongside Ol Chiki (sat). Munda family: numerals
+    // mit'/bar/pe/pon, pronouns iñ/am/ale, and the checked-consonant
+    // finals written with an explicit halanta (क् च् in ओड़ाक् ...) give
+    // word shapes no Indo-Aryan Devanagari sibling produces.
+    "sat_Deva" -> v("""सान्ताड़ी इञ आम उनि आले आपे ओना नोवा काना बाङ मेनाक् ओड़ाक् दाक्
+      होड़ सेरमा ञिन्दा दिसोम आतो ञेल जोम सेन हेच् नावा मराङ हुडिञ मित् बार पे पोन
+      मोँड़े रोड़"""),
   )
 }
