@@ -537,7 +537,15 @@ object TextOps {
       threshold: Double
   ): Iterator[(Long, Long, Double)] = {
     val tf = threshold / (1 + threshold)
-    val ds = docsIt.toArray
+    // Zero-shingle docs (null/short text: < ShingleSize codepoints) can
+    // never reach any positive threshold — and MUST be dropped here, not
+    // just for speed: sz = 0 makes keepJ = 0 − 0 + 1 = 1, so the prefix
+    // loops would index an EMPTY prefix array (one 4-char doc in a source
+    // crashed the whole local plan). The distributed plan is naturally
+    // safe (`take(keep)` over an empty iterator) and emits no prefix rows
+    // for such docs — dropping them keeps the two plans' outputs equal,
+    // spec-pinned by JaccardSpec's short/null-text case.
+    val ds = docsIt.filter(_._3.nonEmpty).toArray
     val n = ds.length
     if (n < 2) return Iterator.empty
     // local document frequency per gram (shared order within the source)
@@ -564,7 +572,10 @@ object TextOps {
       val (_, idJ, shJ) = ord(j)
       val szJ = shJ.length
       val minszJ = math.ceil(szJ * threshold).toInt
-      val keepJ = szJ - minszJ + 1
+      // cap at szJ: at threshold ≤ 0 the ppjoin bound is szJ + 1 (keep
+      // everything); the distributed selectPrefix gets the same cap for
+      // free from `take(keep)` on a length-szJ iterator
+      val keepJ = math.min(szJ - minszJ + 1, szJ)
       val pj = prefixes(j)
       var g = 0
       while (g < keepJ) {
@@ -588,7 +599,7 @@ object TextOps {
       }
       cand.clear()
       // index only the INDEX prefix (asymmetric ppjoin bound)
-      val idxKeepJ = szJ - math.ceil(2 * tf * szJ).toInt + 1
+      val idxKeepJ = math.min(szJ - math.ceil(2 * tf * szJ).toInt + 1, szJ)
       g = 0
       while (g < idxKeepJ) {
         index.getOrElseUpdate(pj(g), new ArrayBuffer[Int](4)) += j

@@ -118,6 +118,33 @@ class JaccardSpec extends AnyFunSuite {
     st.docs().unpersist()
   }
 
+  test("null, empty, and sub-shingle-length texts never pair and never crash either plan") {
+    // A web crawl always contains docs shorter than ShingleSize (5 cps)
+    // and null-text rows. These shingle to EMPTY sets: they must be
+    // dropped, not crash — sz = 0 used to make the local plan's prefix
+    // loop index an empty array (keepJ = 0 − 0 + 1). Both plans must
+    // still find the planted near-dup pair among the normal docs.
+    import spark.implicits._
+    val docsIn = Seq(
+      ("web", 1L, null.asInstanceOf[String]),
+      ("web", 2L, ""),
+      ("web", 3L, "abcd"), // 4 cps < ShingleSize -> zero shingles
+      ("web", 4L, "the quick brown fox jumps over the lazy dog"),
+      ("web", 5L, "the quick brown fox jumps over the lazy cat"),
+      ("web", 6L, null.asInstanceOf[String]) // two empties may not pair either
+    ).toDF("source", "doc_id", "text")
+
+    val st = TextOps.q19StagesFromDocs(
+      spark, docsIn, 0.3, TextOps.HotGramDf, TextOps.HotGramBlock)
+    assert(st.usedLocalPlan, "tiny corpus must take the local fast path")
+    val local = rows(st.result)
+    val dist = rows(st.distResult())
+    assert(local == dist, s"local $local vs dist $dist")
+    assert(local.map { case (a, b, _) => (a, b) } == Set((4L, 5L)),
+      s"only the planted pair may survive, got $local")
+    st.docs().unpersist()
+  }
+
   test("local plan emits ordered pairs with exact jaccard at a lower threshold") {
     // lower threshold => more pairs; checks the prefix/length filters are
     // not over-pruning when many borderline pairs exist
