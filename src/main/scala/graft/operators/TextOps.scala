@@ -253,7 +253,10 @@ object TextOps {
     val bandRows = docs.as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val sh = shingleHashes(text, ShingleSize)
+          // null text ≡ empty text (zero shingles) — crawls contain null
+          // rows and one used to NPE the whole banding pass
+          val sh = if (text == null) Array.emptyLongArray
+                   else shingleHashes(text, ShingleSize)
           // zero-shingle docs can never reach J ≥ t > 0 (Jaccard with an
           // empty set is 0), but their all-MaxValue signatures would put
           // EVERY empty doc in the same 32 buckets — a mass-empty crawl
@@ -474,7 +477,9 @@ object TextOps {
     Tables.documents(spark, sfDir).select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) => (id, simHash60(md, text)) }
+        // null ≡ empty doc: zero tokens accumulate nothing → simhash 0,
+        // exactly what simHash60 returns for "" (a null used to NPE)
+        it.map { case (id, text) => (id, if (text == null) 0L else simHash60(md, text)) }
       }
       .toDF("doc_id", "simhash")
   }

@@ -54,15 +54,25 @@ object StreamingNearDup {
     // the stateful operator needs the watermark on a surviving column
     val bands = docs
       .flatMap { case (id, ts, text) =>
-        val sig = TextOps.minHashSignature(TextOps.shingleHashes(text, TextOps.ShingleSize))
-        (0 until TextOps.Bands).iterator.map { b =>
-          var h = 0x9e3779b97f4a7c15L ^ b
-          var r = 0
-          while (r < TextOps.RowsPerBand) {
-            h = TextOps.mix(h ^ sig(b * TextOps.RowsPerBand + r))
-            r += 1
+        // null/short text → zero shingles → no bands (the batch q17
+        // convention: such docs can never near-dup-pair, and their
+        // all-MaxValue signatures would herd every empty doc into the
+        // same buckets; a null used to NPE and kill the streaming
+        // query — a poison-message hazard)
+        val sh = if (text == null) Array.emptyLongArray
+                 else TextOps.shingleHashes(text, TextOps.ShingleSize)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = TextOps.minHashSignature(sh)
+          (0 until TextOps.Bands).iterator.map { b =>
+            var h = 0x9e3779b97f4a7c15L ^ b
+            var r = 0
+            while (r < TextOps.RowsPerBand) {
+              h = TextOps.mix(h ^ sig(b * TextOps.RowsPerBand + r))
+              r += 1
+            }
+            BandRow(b, h, id, ts)
           }
-          BandRow(b, h, id, ts)
         }
       }
       .withWatermark("ts", "2 days")

@@ -39,6 +39,28 @@ class TextOpsEdgeSpec extends AnyFunSuite {
     assert(out == Set((10L, 11L)), s"got $out")
   }
 
+  test("q17 and q18 tolerate null text (null ≡ empty doc)") {
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog again and again"
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-null").toString
+    Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (10L, near), (11L, near + "!")
+    ).toDF("doc_id", "text")
+      .withColumn("source", lit("edge"))
+      .withColumn("lang", lit("eng"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val pairs = TextOps.q17MinHashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)), s"q17 got $pairs")
+
+    val sims = TextOps.q18SimHash(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(sims.keySet == Set(1L, 2L, 10L, 11L), "q18 keeps a row per doc")
+    assert(sims(1L) == 0L && sims(2L) == 0L, "null hashes like the empty doc")
+  }
+
   test("q25 typed map matches the SQL explode shape on separator edge cases") {
     import spark.implicits._
     val dir = docsDir(Seq(

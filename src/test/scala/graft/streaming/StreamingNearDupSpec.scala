@@ -27,6 +27,12 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val ts = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
     graft.operators.Tables.documents(spark, sf)
       .select($"doc_id", lit(ts).as("ts"), $"text")
+      // poison rows: a null and a sub-shingle text used to NPE the
+      // banding flatMap and kill the whole streaming query; they must
+      // instead band to nothing and never appear as candidates
+      .unionByName(Seq(
+        (999901L, ts, null.asInstanceOf[String]),
+        (999902L, ts, "ab")).toDF("doc_id", "ts", "text"))
       .write.parquet(s"$tmp/docs")
 
     val stream = spark.readStream
@@ -54,6 +60,8 @@ class StreamingNearDupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(edges.nonEmpty)
     assert(edges.forall { case (d, o) => d != o }, "no self-candidates")
+    assert(edges.forall { case (d, o) => d < 999901L && o < 999901L },
+      "null/sub-shingle poison docs must never surface as candidates")
 
     // union-find over candidate edges
     val parent = scala.collection.mutable.Map.empty[Long, Long]
