@@ -199,7 +199,10 @@ final class Detector(val model: PackedModel, val config: DetectorConfig) extends
     resSorted = true // empty result is trivially sorted
     t1Prob = Double.NaN; t1Lang = -1; t2Prob = Double.NegativeInfinity
     tokBuf.clear()
-    if (text.isEmpty) return 0
+    // null ≡ empty text: every public entry point routes through here,
+    // so one guard keeps a null-text crawl row from NPE-ing any caller
+    // (q21's typed map passes text through unchecked)
+    if (text == null || text.isEmpty) return 0
 
     Tokenizer.tokenizeInto(text, tokBuf)
     val nCand0 = Tokenizer.prefilterInto(tokBuf, prefCounts, candBuf, 95, maskScratch)

@@ -156,9 +156,12 @@ object FilterPipeline {
       wordFreq: LongIntCounter,
       url: String,
       ts: java.sql.Timestamp,
-      text: String
+      text0: String
   ): DocResult = {
     {
+      // null ≡ empty page: the detector guards null itself, but the
+      // line-length loop and scrub below index the string directly
+      val text = if (text0 == null) "" else text0
       val nRanked = det.detectInPlace(text) // allocation-free result arrays
       val toks = det.tokens // valid until the next detection call
       // language + confidence: reordered pick + softmax relative probability
@@ -316,7 +319,8 @@ object FilterPipeline {
               val host = url.stripPrefix("https://").stripPrefix("http://")
                 .takeWhile(_ != '/')
               DocResult(url, ts, host, "und", 0.0, Double.MaxValue, 0.0,
-                0, 1.0, 0.0, 0.0, 0, 0, graft.lang.NgramHash.ofString(text), "")
+                0, 1.0, 0.0, 0.0, 0, 0,
+                graft.lang.NgramHash.ofString(if (text == null) "" else text), "")
             } else processDoc(model.value, det, wordFreq, url, ts, text)
           (doc, isDup)
         }

@@ -80,6 +80,10 @@ class DetectorSpec extends AnyFunSuite {
     Seq("", " \n  \t;", "3<856%)§").foreach { t =>
       assert(d.detectTopOneRaw(t) == None, s"'$t'")
     }
+    // null ≡ empty (crawl rows carry null text; q21's typed map passes
+    // it through unchecked — every entry point must survive it)
+    assert(d.detectTopOneRaw(null) == None)
+    assert(d.detectWithConfidence(null) == (("und", 0.0)))
   }
 
   test("max_trigrams mode still detects short words") {

@@ -44,6 +44,22 @@ class PipelineSpec extends AnyFunSuite {
     joined.unpersist()
   }
 
+  test("null-text pages flow through the full pipeline and are dropped") {
+    import spark.implicits._
+    val bc = LangOps.broadcastModel(spark)
+    val pages = PagesGen.pagesDf(spark, 50).limit(20)
+      .unionByName(spark.createDataset(Seq(
+        PagesGen.Page("https://null.example/p1",
+          java.sql.Timestamp.valueOf("2025-06-01 00:00:00"),
+          Array.emptyByteArray, null, "und"))).toDF())
+    val out = FilterPipeline.run(spark, pages, bc)
+    val nullRow = out.filter(col("url") === "https://null.example/p1")
+      .select(col("keep"), col("lang"), col("word_count")).collect()
+    assert(nullRow.length == 1, "the null page must not crash or vanish")
+    assert(!nullRow(0).getBoolean(0), "an empty page can never be kept")
+    assert(nullRow(0).getString(1) == "und" && nullRow(0).getInt(2) == 0)
+  }
+
   test("scrubbed text matches the reference scrub exactly") {
     val joined = result.select(col("url"), col("scrubbed_text"))
       .join(labels.filter(col("ref_defect") =!= "dup_copy")
