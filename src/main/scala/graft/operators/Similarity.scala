@@ -613,6 +613,13 @@ object Similarity {
     val nRows =
       if (kCentroids0 > 0) 0L
       else Tables.embeddings(spark, sfDir).count()
+    // Empty index → empty ANN result. Not a corner case at scale: a
+    // partition-pruned or freshly-created embeddings table is 0 rows,
+    // and k-means|| over zero rows has no seed to sample (it crashed
+    // here before this guard — EmptyInputSpec). One take(1) job.
+    if (emb.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rnk", "vec_id", "cos")
     val (kCentroids, nProbeSized) = ivfSizing(nRows, kCentroids0, nProbe, maxCodebook0)
 
     // Small-k degeneration guards (constants — both wash out at scale):
