@@ -51,41 +51,52 @@ object LangOps {
     * Detector carries ~10 registry-sized scratch arrays (~20 KB at 346
     * languages), so the round-3 per-row `new Detector` inside the udf
     * closure cost ~10× the typed-map hot path in allocation alone. The
-    * pool is a JVM-WIDE object keyed by broadcast id — a `@transient
-    * lazy` field inside the serialized closure was rebuilt per TASK
-    * (each task deserializes its own closure), so detectors were never
-    * reused across tasks and the "O(threads)" claim held only per task
-    * (ADVICE r4). The registry holds one ThreadLocal per broadcast
-    * model — one model per context in practice — for the JVM lifetime.
-    * LangOpsSpec asserts the construction count stays O(threads) across
-    * repeated queries via Detector.constructed.
+    * pool is a JVM-WIDE map keyed by BROADCAST ID — the one name that is
+    * stable across every deserialized copy of the closure. Two prior
+    * shapes each failed one way: a `@transient lazy` field in the closure
+    * was rebuilt per TASK (ADVICE r4); a WeakHashMap keyed by Broadcast
+    * OBJECT IDENTITY still missed per task, because every task
+    * deserializes its own Broadcast wrapper even though `bc.value` is the
+    * one block-manager-cached model (ADVICE r6: measured 64 constructions
+    * at 64 tasks). `bc.id` is assigned driver-side and survives closure
+    * serialization, so all tasks of all queries over one broadcast share
+    * one ThreadLocal pool — O(threads) constructions for the JVM
+    * lifetime, asserted by LangOpsSpec via Detector.constructed with a
+    * bound per-task construction would fail.
+    *
+    * Retention/aliasing (the reason r5 moved OFF id keys): broadcast ids
+    * restart per SparkContext, so a JVM that hosts several successive
+    * contexts (local mode, test suites, notebook drivers) could both
+    * retain dead pools forever and alias a new context's id onto an old
+    * model's detectors. Only JVMs WITH a context can suffer that — an
+    * executor JVM lives and dies with exactly one application — and those
+    * are exactly the JVMs where a cleanup listener can be registered:
+    * registerSql installs one per context (driver-side) that clears the
+    * pool map on application end. The ThreadLocal initializer captures
+    * the MODEL, not the broadcast wrapper, so per-thread values never pin
+    * a wrapper; after clear(), the unreachable ThreadLocal keys let each
+    * thread's stale Detector be GC'd.
     */
   private object DetectorPools {
-    // WeakHashMap keyed by broadcast IDENTITY (ADVICE r5): the old map
-    // keyed by bc.id was never evicted — every context restart broadcasts
-    // anew and the stale ThreadLocals (~20 KB of Detector per thread)
-    // were retained for the JVM lifetime — and broadcast ids RESTART per
-    // context, so a new context's id could alias an old entry. Weak keys
-    // evict an entry when its broadcast is GC'd (context stopped + plan
-    // dereferenced); the ThreadLocal initializer deliberately captures the
-    // MODEL, not the broadcast, so the value never pins its own key (the
-    // classic WeakHashMap self-retention trap). Per-call cost is one
-    // synchronized lookup — negligible against the µs-scale detection the
-    // SQL UDF wraps; the typed-map hot path (q21) never comes through
-    // here.
-    private val pools = java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Broadcast[PackedModel], ThreadLocal[Detector]]())
-    def get(bc: Broadcast[PackedModel]): Detector = {
-      var pool = pools.get(bc)
-      if (pool == null) {
-        val model = bc.value
-        val fresh =
-          ThreadLocal.withInitial(() => new Detector(model, DetectorConfig.default))
-        val prev = pools.putIfAbsent(bc, fresh)
-        pool = if (prev != null) prev else fresh
+    private val pools =
+      new java.util.concurrent.ConcurrentHashMap[Long, ThreadLocal[Detector]]()
+    @transient private var hookedCtx: org.apache.spark.SparkContext = _
+    /** One pool-clearing listener per SparkContext (idempotent). */
+    def installCleanup(sc: org.apache.spark.SparkContext): Unit = synchronized {
+      if (hookedCtx ne sc) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            pools.clear()
+        })
+        hookedCtx = sc
       }
-      pool.get()
     }
+    def get(bc: Broadcast[PackedModel]): Detector =
+      pools.computeIfAbsent(bc.id, _ => {
+        val model = bc.value
+        ThreadLocal.withInitial(() => new Detector(model, DetectorConfig.default))
+      }).get()
   }
 
   /** Register `detect_lang(text)` for SQL access, returning
@@ -95,6 +106,7 @@ object LangOps {
     */
   def registerSql(spark: SparkSession): Unit = {
     val bc = broadcastModel(spark)
+    DetectorPools.installCleanup(spark.sparkContext)
     val f = org.apache.spark.sql.functions.udf { (text: String) =>
       if (text == null) ("und", 0.0)
       else DetectorPools.get(bc).detectWithConfidence(text)

@@ -38,21 +38,31 @@ class LangOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(", "))
   }
 
-  test("detect_lang UDF builds one Detector per thread, not per row") {
+  test("detect_lang UDF builds one Detector per thread, not per task or row") {
     import graft.lang.Detector
     LangOps.registerSql(spark)
     val nRows = 4000
+    // 64 partitions × 3 repeat queries = 192 tasks: a per-TASK pool miss
+    // (the r6 regression — each task deserializes its own Broadcast
+    // wrapper, so identity-keyed pools never hit) constructs ≥ 192
+    // detectors here; the id-keyed pool constructs at most one per live
+    // executor thread for the whole block. The old 8-partition/≤16 bound
+    // could not tell those apart (ADVICE r6).
     spark.range(nRows.toLong)
       .selectExpr("concat('the house of the people number ', id) AS text")
-      .repartition(8)
+      .repartition(64)
       .createOrReplaceTempView("langops_alloc")
     // warm once so ThreadLocals for the pool exist on live threads
     spark.sql("SELECT count(detect_lang(text)._1) FROM langops_alloc").collect()
     val before = Detector.constructed.get()
-    spark.sql("SELECT count(detect_lang(text)._1) FROM langops_alloc").collect()
+    (1 to 3).foreach { _ =>
+      spark.sql("SELECT count(detect_lang(text)._1) FROM langops_alloc").collect()
+    }
     val made = Detector.constructed.get() - before
-    // local[4] with warm thread-locals: 0 expected; allow a few stragglers
-    // from fresh task threads, but a per-row detector would make ~4000
-    assert(made <= 16, s"UDF constructed $made Detectors for $nRows rows")
+    // warm thread-locals: 0 expected; allow stragglers from fresh task
+    // threads (the suite may share a wider context than local[4]), but
+    // stay strictly under one-per-task
+    assert(made <= 32, s"UDF constructed $made Detectors across 192 tasks " +
+      "(per-task pool misses?)")
   }
 }
