@@ -246,14 +246,56 @@ object Relational {
     * to the aggregate; the streaming pass replaces that with a constant
     * per-group cursor and an ~18-row aggregate input (measured 2.07 →
     * 1.79 s warm at sf0.1, interleaved A/B). Per-group work is bounded by
-    * distinct values, not rows; the cumulative sort is single-reducer PER
-    * GROUP, the one deliberate bound left: past per-task memory on a
-    * continuous measure the escalation is a range-partitioned prefix sum
-    * (sample boundaries, per-partition local cumsums, driver prefix of
-    * the ≤ N·groups partial totals), which buys nothing at any tested
-    * scale and costs two extra jobs per query.
+    * distinct values, not rows.
+    *
+    * ADAPTIVE cumulative-rank shape (the r6 verdict's top item): the
+    * per-(group, measure) cumsum was the suite's last single-reducer-
+    * per-group structure — memory-safe (O(1) streaming state) but a
+    * wall-clock serialization once a group holds ~1e8+ distinct values
+    * (a near-unique continuous measure over a crawl). Below
+    * `escalateBytes` of source (default 8 GiB ≈ 2e8 lineitem rows — a
+    * single reducer sweeps a group's distinct stream in seconds there,
+    * and the escalation's two extra jobs cost more than they buy,
+    * measured at every tested SF) the exact one-plan shape above runs
+    * unchanged. Above it, the RANGE-PARTITIONED PREFIX SUM runs instead:
+    * value-counts range-partitioned on (g, tag, v) (sampled boundaries —
+    * every partition holds a contiguous value slice, parallelism = N
+    * regardless of group count), per-partition per-(g, tag) subtotals
+    * collected to the driver (≤ N·|groups·measures| longs), exclusive
+    * prefix offsets broadcast back, and the SAME streaming bracketing
+    * pass seeded at each group's offset instead of 0. The decision reads
+    * only driver-side file statistics — the default path pays zero extra
+    * jobs. Both paths share every rank/interpolation definition, are
+    * oracle-equal (PercentileEdgeSpec runs the edge table through both),
+    * and the escalated plan is asserted shuffle-shaped in PlanSpec (range
+    * exchange, no per-(g, tag) hash exchange).
     */
-  def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+  def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    q32Stages(spark, sfDir).result
+
+  /** Source-byte threshold above which q32 switches to the range-
+    * partitioned prefix sum; tests force either path by overriding.
+    */
+  private[graft] final val Q32EscalateBytes: Long = 8L << 30
+
+  /** q32 with the escalation decision exposed (and injectable) — see
+    * q32Percentiles. `ranged` is the persisted range-partitioned
+    * value-counts table when escalated (PlanSpec asserts its exchange
+    * shape), None on the default path.
+    */
+  private[graft] final case class PercentileStages(
+      result: DataFrame, escalated: Boolean, ranged: Option[DataFrame])
+
+  /** Last escalated-q32 caches — released by the NEXT q32 call (the lazy
+    * result plan needs them alive after q32Stages returns; the q19
+    * cache-handoff pattern).
+    */
+  private val lastQ32Caches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
+  private[graft] def q32Stages(
+      spark: SparkSession, sfDir: String,
+      escalateBytes: Long = Q32EscalateBytes): PercentileStages = {
     val li = Tables.lineitem(spark, sfDir)
 
     // Exact quantile_cont for BOTH measure columns in ONE pass: unpivot
@@ -301,41 +343,37 @@ object Relational {
     // n joined onto each row first (broadcast, codegen), the target ranks
     // are known INSIDE the pass, so it emits only rows whose [cum−cnt, cum)
     // span covers some target rank — O(1) memory per group, and the final
-    // aggregate reads ~18 rows instead of the full distinct-value set. The
-    // per-group cumsum stays single-reducer (sortWithinPartitions behind a
-    // fixed-N repartition on (g, tag) — AQE-exempt, the q17/q19 lesson);
-    // parallelism is bounded by group count either way.
+    // aggregate reads ~18 rows instead of the full distinct-value set.
+    // The SAME pass serves both cumulative-rank shapes: seeded at 0 when a
+    // partition holds whole (g, tag) groups (default path), or at the
+    // group's broadcast prefix offset when a group spans range partitions
+    // (escalated path) — the rank arithmetic cannot diverge between them.
     import spark.implicits._
-    val bracketed = vc
-      .join(broadcast(totals), Seq("g", "tag"))
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("g"), col("tag"))
-      .sortWithinPartitions(col("g"), col("tag"), col("v"))
-      .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
-      .as[(String, String, Double, Long, Long)]
-      .mapPartitions { it =>
-        var curG: String = null
-        var curTag: String = null
-        var cum = 0L
-        var ranks: Array[Long] = Array.emptyLongArray
-        it.flatMap { case (g, tag, v, cnt, n) =>
-          if (g != curG || tag != curTag) {
-            curG = g; curTag = tag; cum = 0L
-            // same arithmetic as qAgg below: pos = (n−1)·q, ranks
-            // floor(pos)+1 and ceil(pos)+1 (Catalyst floor/ceil on a
-            // double yield BIGINT, matched by toLong here)
-            ranks = targetsByTag(tag).flatMap { q =>
-              val pos = (n - 1) * q
-              Array(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
-            }
+    def bracketPass(offset: (String, String) => Long)(
+        it: Iterator[(String, String, Double, Long, Long)])
+        : Iterator[(String, String, Double, Long, Long, Long)] = {
+      var curG: String = null
+      var curTag: String = null
+      var cum = 0L
+      var ranks: Array[Long] = Array.emptyLongArray
+      it.flatMap { case (g, tag, v, cnt, n) =>
+        if (g != curG || tag != curTag) {
+          curG = g; curTag = tag; cum = offset(g, tag)
+          // same arithmetic as qAgg below: pos = (n−1)·q, ranks
+          // floor(pos)+1 and ceil(pos)+1 (Catalyst floor/ceil on a
+          // double yield BIGINT, matched by toLong here)
+          ranks = targetsByTag(tag).flatMap { q =>
+            val pos = (n - 1) * q
+            Array(math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
           }
-          cum += cnt
-          val lo = cum - cnt
-          if (ranks.exists(r => lo < r && cum >= r))
-            Iterator.single((g, tag, v, cnt, n, cum))
-          else Iterator.empty
         }
+        cum += cnt
+        val lo = cum - cnt
+        if (ranks.exists(r => lo < r && cum >= r))
+          Iterator.single((g, tag, v, cnt, n, cum))
+        else Iterator.empty
       }
-      .toDF("g", "tag", "v", "cnt", "n", "cum")
+    }
 
     // 1-based continuous rank: pos = (n-1)*q + 1; the quantile sits
     // between the values at ranks floor(pos) and ceil(pos)
@@ -349,8 +387,7 @@ object Relational {
       val fr = max(when(isTag, pos - floor(pos))) // frac depends only on n: constant per (group, tag)
       (loVal + (hiVal - loVal) * fr).as(name)
     }
-
-    bracketed
+    def finalAgg(bracketed: DataFrame): DataFrame = bracketed
       .groupBy(col("g").as("l_returnflag"))
       .agg(
         qAgg("price", 0.5, "p50_raw"),
@@ -362,6 +399,80 @@ object Relational {
         round(col("p95_raw"), 2).as("p95"),
         round(col("qty_p25_raw"), 2).as("qty_p25"))
       .orderBy(col("l_returnflag"))
+
+    val joined = vc.join(broadcast(totals), Seq("g", "tag"))
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // escalation decision from driver-side file statistics only (no job):
+    // source bytes upper-bound the distinct values any one group can hold
+    val escalate =
+      li.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(escalateBytes)
+    // release the previous call's escalated caches (q19 handoff pattern)
+    lastQ32Caches.getAndSet(Nil).foreach(_.unpersist(false))
+
+    if (!escalate) {
+      // Default shape: the per-group cumsum is single-reducer
+      // (sortWithinPartitions behind a fixed-N repartition on (g, tag) —
+      // AQE-exempt, the q17/q19 lesson); parallelism is bounded by group
+      // count, which below the escalation threshold costs less than the
+      // prefix sum's extra sample + subtotal jobs.
+      val bracketed = joined
+        .repartition(nParts, col("g"), col("tag"))
+        .sortWithinPartitions(col("g"), col("tag"), col("v"))
+        .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
+        .as[(String, String, Double, Long, Long)]
+        .mapPartitions(bracketPass((_, _) => 0L))
+        .toDF("g", "tag", "v", "cnt", "n", "cum")
+      PercentileStages(finalAgg(bracketed), escalated = false, ranged = None)
+    } else {
+      // Range-partitioned prefix sum: every partition holds a CONTIGUOUS
+      // (g, tag, v) slice (sampled boundaries), so cumulative ranks =
+      // per-partition local cumsum + a per-(partition, group) offset from
+      // the driver prefix of the ≤ nParts·|groups·measures| subtotals.
+      // vc is persisted so the range sampling job, the shuffle write, and
+      // the totals branch each read the value-counts once (at warehouse
+      // scale this cache is a checkpointed intermediate; MEMORY_AND_DISK
+      // spills rather than OOMs). `ranged` is persisted because three
+      // consumers walk the SAME materialized partitions — the subtotal
+      // pass, the bracketing pass, and the sampled boundaries they both
+      // depend on — and pinning it is what makes the pid ↔ value-slice
+      // mapping stable across those jobs.
+      vc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranged = joined
+        .repartitionByRange(nParts, col("g"), col("tag"), col("v"))
+        .sortWithinPartitions(col("g"), col("tag"), col("v"))
+        .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
+        .as[(String, String, Double, Long, Long)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lastQ32Caches.set(Seq(vc, ranged.toDF()))
+
+      val rrdd = ranged.rdd // one RDD instance: both passes share pids
+      val partials: Array[((Int, String, String), Long)] = rrdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+          it.foreach { case (g, tag, _, cnt, _) =>
+            m.updateWith((g, tag))(s => Some(s.getOrElse(0L) + cnt))
+          }
+          m.iterator.map { case ((g, tag), s) => ((pid, g, tag), s) }
+        }
+        .collect() // ≤ nParts · |groups·measures| rows — driver-bounded
+      val offsets: Map[(Int, String, String), Long] = partials
+        .groupBy { case ((_, g, tag), _) => (g, tag) }
+        .flatMap { case ((g, tag), arr) =>
+          var acc = 0L
+          arr.sortBy(_._1._1).map { case ((pid, _, _), s) =>
+            val off = acc
+            acc += s
+            ((pid, g, tag), off)
+          }
+        }
+      val bcOff = spark.sparkContext.broadcast(offsets)
+      val bracketed = spark.createDataset(
+        rrdd.mapPartitionsWithIndex { (pid, it) =>
+          bracketPass((g, tag) => bcOff.value.getOrElse((pid, g, tag), 0L))(it)
+        })
+        .toDF("g", "tag", "v", "cnt", "n", "cum")
+      PercentileStages(finalAgg(bracketed), escalated = true, ranged = Some(ranged.toDF()))
+    }
   }
 
   /** Scalar string function suite (all codegen'd builtins). */

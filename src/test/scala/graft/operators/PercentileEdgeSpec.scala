@@ -16,7 +16,7 @@ class PercentileEdgeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("q32 exact percentiles: single-row, two-row, and duplicate-value groups") {
+  private def writeEdgeTable(): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q32edge").toString
     Seq(
@@ -29,17 +29,55 @@ class PercentileEdgeSpec extends AnyFunSuite {
       ("Z", 5.0, 2.0), ("Z", 5.0, 2.0), ("Z", 5.0, 4.0), ("Z", 7.0, 4.0)
     ).toDF("l_returnflag", "l_extendedprice", "l_quantity")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
 
-    val got = Relational.q32Percentiles(spark, dir).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-      .toList
-    val want = List(
-      ("X", 10.0, 10.0, 5.0),
-      ("Y", 15.0, 19.5, 1.5),
-      // Z prices [5,5,5,7]: p50 pos=1.5 -> both ranks in the 5-run;
-      // p95 pos=2.85 -> 5 + 0.85*2 = 6.7; qty [2,2,4,4]: p25 pos=0.75
-      // -> ranks (1,2) both value 2
-      ("Z", 5.0, 6.7, 2.0))
+  private val want = List(
+    ("X", 10.0, 10.0, 5.0),
+    ("Y", 15.0, 19.5, 1.5),
+    // Z prices [5,5,5,7]: p50 pos=1.5 -> both ranks in the 5-run;
+    // p95 pos=2.85 -> 5 + 0.85*2 = 6.7; qty [2,2,4,4]: p25 pos=0.75
+    // -> ranks (1,2) both value 2
+    ("Z", 5.0, 6.7, 2.0))
+
+  private def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    .toList
+
+  test("q32 exact percentiles: single-row, two-row, and duplicate-value groups") {
+    val st = Relational.q32Stages(spark, writeEdgeTable())
+    assert(!st.escalated, "tiny table must stay on the default path")
+    val got = run(st.result)
     assert(got == want, s"got $got")
+  }
+
+  test("q32 escalated prefix-sum path: same edge cases, group runs split across range partitions") {
+    // escalateBytes = -1 forces the range-partitioned prefix sum; with 8
+    // shuffle partitions and 11 distinct (g, tag, v) keys the sampled
+    // boundaries place parts of one group's value run in different
+    // partitions, so the bracketing pass MUST consume the broadcast
+    // offsets to rank correctly (a zero-offset regression returns wrong
+    // quantiles here, not a crash)
+    val st = Relational.q32Stages(spark, writeEdgeTable(), escalateBytes = -1L)
+    assert(st.escalated, "escalateBytes = -1 must force the prefix-sum path")
+    val got = run(st.result)
+    assert(got == want, s"escalated got $got")
+  }
+
+  test("q32 escalated path matches the default path on real sf0.001 data") {
+    val dflt = run(Relational.q32Stages(spark, "/root/testdata/sf0.001").result)
+    val esc = run(
+      Relational.q32Stages(spark, "/root/testdata/sf0.001", escalateBytes = -1L).result)
+    assert(esc == dflt, s"escalated $esc vs default $dflt")
+  }
+
+  test("q32 escalated path survives an empty table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q32edge-empty").toString
+    Seq.empty[(String, Double, Double)]
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val st = Relational.q32Stages(spark, dir, escalateBytes = -1L)
+    assert(st.escalated && st.result.collect().isEmpty)
   }
 }

@@ -102,6 +102,39 @@ class PlanSpec extends AnyFunSuite {
         s"(scans=$scans reused=$reused)\n" + p)
   }
 
+  test("q32 escalated: cumulative ranks ride a range exchange, not a per-group sort") {
+    // The prefix-sum escalation exists to kill the single-reducer-per-
+    // group cumsum. Two gates, one structural, one behavioral:
+    //  (a) the cumsum input is built over an `Exchange rangepartitioning`
+    //      on (g, tag, v) — contiguous value slices, parallelism = N;
+    //  (b) at least one (g, tag) group's distinct values actually SPAN
+    //      multiple partitions. (b) is what a per-group hash shuffle —
+    //      the degenerate single-reducer shape — can never satisfy, and
+    //      it is robust to plan-string rendering: the totals branch
+    //      legitimately hashes its 6-row aggregate on (g, tag), so a
+    //      blanket "no hashpartitioning(g, tag)" regex over-rejects.
+    val st = Relational.q32Stages(spark, sf, escalateBytes = -1L)
+    assert(st.escalated)
+    val rangedPlan = st.ranged.get.queryExecution.executedPlan.toString
+    assert(rangedPlan.contains("Exchange rangepartitioning"),
+      "escalated value-counts must be range-partitioned\n" + rangedPlan)
+    val groupSpread = st.ranged.get.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        it.map(r => ((r.getString(0), r.getString(1)), pid))
+      }
+      .distinct().collect()
+      .groupBy(_._1).map(_._2.length)
+    assert(groupSpread.max >= 2,
+      s"no (g, tag) group spans >1 partition — the cumsum is still single-reducer " +
+        s"per group (spreads: ${groupSpread.toSeq.sorted.mkString(",")})")
+    // the bracketing pass reads the persisted range-partitioned table,
+    // and the whole escalated plan must also run
+    val resultPlan = st.result.queryExecution.executedPlan.toString
+    assert(resultPlan.contains("Scan[obj#") || resultPlan.contains("Scan ExistingRDD") ||
+      resultPlan.contains("InMemoryTableScan"), resultPlan)
+    assert(st.result.collect().length == 3)
+  }
+
   test("trainer: (n-1)-gram denominator side joins as broadcast below threshold") {
     // At real model scale the lower-gram side exceeds
     // autoBroadcastJoinThreshold, so WITHOUT the explicit hint Catalyst
