@@ -214,16 +214,21 @@ object Bench {
     // the generic 10 % gap target. Now (a) every second-phase round
     // interleaves LOW-level JVMs alongside the high ones, so the
     // estimator stays two-sided (a sharper low min can only LOWER the
-    // ratio), (b) the phase stops on MIN STABILITY — a full interleaved
-    // round improving neither level's min by > 0.5 % — never on the
-    // ratio crossing the gate constant, and (c) its ratio is headline
-    // only once the low level's min-gap ends < 3 %; both facts are
-    // reported in the JSON and BENCH.md either way.
+    // ratio), (b) the phase stops on MIN STABILITY ALONE — a full
+    // interleaved round improving neither level's min by > 0.5 % —
+    // never on the ratio crossing the gate constant (ADVICE r6: the
+    // old loop ALSO required the low-gap precondition in its stop
+    // condition, so a stubbornly noisy low level kept resampling to
+    // the deadline after both mins had stabilized), and (c) the ratio
+    // is HEADLINE only once the low level's min-gap ends < 3 % — now
+    // enforced by the artifact itself: `scaling_efficiency_headline`
+    // in the JSON is false when the precondition misses, and BENCH.md's
+    // efficiency line is keyed off the same flag.
     def effNow(): Double =
       lowSamples.min / (highSamples.min * (scaleHigh.toDouble / scaleLow))
     val secondPhase = effNow() < 0.90
     var secondStable = false
-    while (secondPhase && !(secondStable && gapOf(lowSamples) < 0.03) &&
+    while (secondPhase && !secondStable &&
            System.nanoTime() < topupDeadline && topups < 24) {
       val befLow = lowSamples.min
       val befHigh = highSamples.min
@@ -245,6 +250,9 @@ object Bench {
     val tLow = lowSamples.min
     val tHigh = highSamples.min
     val tFull = fullSamples.min
+    // the self-demoting headline contract (VERDICT r6): a second-phase
+    // ratio is quotable only when the low level's min converged tightly
+    val effHeadline = !secondPhase || gapOf(lowSamples) < 0.03
     val tpLow = benchPages / tLow
     val tpHigh = benchPages / tHigh
     val tpFull = benchPages / tFull
@@ -276,6 +284,7 @@ object Bench {
       s""""topup_jvms":$topups,""" +
       s""""second_phase_used":$secondPhase,""" +
       s""""second_phase_low_gap_ok":${gapOf(lowSamples) < 0.03},""" +
+      s""""scaling_efficiency_headline":$effHeadline,""" +
       s""""detector_micro":$microJson"""
     println(
       s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec",""" +
@@ -337,12 +346,13 @@ object Bench {
          |window, not that the window contained a quiet moment. The
          |second phase interleaves LOW-level JVMs alongside the
          |high-level ones (so it stays two-sided: a sharper low min can
-         |only LOWER the ratio) and stops on MIN STABILITY — a full
+         |only LOWER the ratio) and stops on MIN STABILITY alone — a full
          |interleaved round improving neither level's min — never on the
          |ratio crossing the gate constant; its ratio is headline only
-         |once the low level's min-gap ends < 3%. This run used $topups
-         |top-up JVMs. A >10% residual gap below means that level's min
-         |is still a single uncorroborated sample.
+         |once the low level's min-gap ends < 3%, and the JSON enforces
+         |that contract itself (`scaling_efficiency_headline`). This run
+         |used $topups top-up JVMs. A >10% residual gap below means that
+         |level's min is still a single uncorroborated sample.
          |Raw samples (s):
          |local[$scaleLow] = ${lowSamples.map(s => f"$s%.2f").mkString(", ")};
          |local[$scaleHigh] = ${highSamples.map(s => f"$s%.2f").mkString(", ")};
@@ -354,7 +364,9 @@ object Bench {
          || local[$scaleHigh] (4N) | ${f"$tHigh%.2f"} | ${f"${second(highSamples)}%.2f"} | ${f"${median(highSamples)}%.2f"} | ${math.round(tpHigh)} |
          || local[$cpus] (full width) | ${f"$tFull%.2f"} | ${f"${second(fullSamples)}%.2f"} | ${f"${median(fullSamples)}%.2f"} | ${math.round(tpFull)} |
          |
-         |**Scaling efficiency (N=$scaleLow → 4N=$scaleHigh): ${f"$eff%.3f"}**
+         |**Scaling efficiency (N=$scaleLow → 4N=$scaleHigh): ${f"$eff%.3f"}${
+           if (effHeadline) ""
+           else " — NOT HEADLINE-QUOTABLE (second-phase low-level min-gap ≥ 3%; read as a lower-confidence figure)"}**
          |= ratio of per-level minima — interference on this shared host is
          |one-sided (only adds time), so the min over interleaved samples
          |converges to the quiet-host time per level. Convergence check:
