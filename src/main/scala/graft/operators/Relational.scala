@@ -251,13 +251,12 @@ object Relational {
     * ADAPTIVE cumulative-rank shape (the r6 verdict's top item): the
     * per-(group, measure) cumsum was the suite's last single-reducer-
     * per-group structure — memory-safe (O(1) streaming state) but a
-    * wall-clock serialization once a group holds ~1e8+ distinct values
-    * (a near-unique continuous measure over a crawl). Below
-    * `escalateBytes` of source (default 8 GiB ≈ 2e8 lineitem rows — a
-    * single reducer sweeps a group's distinct stream in seconds there,
-    * and the escalation's two extra jobs cost more than they buy,
-    * measured at every tested SF) the exact one-plan shape above runs
-    * unchanged. Above it, the RANGE-PARTITIONED PREFIX SUM runs instead:
+    * wall-clock serialization that grows linearly with a group's
+    * distinct values (a near-unique continuous measure over a crawl).
+    * Below `escalateBytes` of source the exact one-plan shape above runs
+    * unchanged — the escalation's fixed extra jobs (range-boundary
+    * sample + subtotal collect) cost more than the tiny per-group sort
+    * saves. Above it, the RANGE-PARTITIONED PREFIX SUM runs instead:
     * value-counts range-partitioned on (g, tag, v) (sampled boundaries —
     * every partition holds a contiguous value slice, parallelism = N
     * regardless of group count), per-partition per-(g, tag) subtotals
@@ -275,8 +274,18 @@ object Relational {
 
   /** Source-byte threshold above which q32 switches to the range-
     * partitioned prefix sum; tests force either path by overriding.
+    * Calibrated by interleaved A/B on local[32]: at sf0.01 (1 MB source,
+    * ~40k distinct values/group) the default one-plan shape wins
+    * (0.9–1.3 s vs a flat ~1.2 s — the sample + subtotal jobs are pure
+    * overhead); at sf0.1 (10.8 MB, ~200k distinct/group) the prefix sum
+    * already wins (1.35–1.56 s vs 1.60–1.80 s — the 6-task per-group
+    * sort is the bottleneck even here, and the gap only widens with
+    * distinct count). 4 MiB splits the measured crossover; the mistake
+    * cost near the boundary is ~0.2 s either way, while at crawl scale
+    * the escalated shape is the only one whose parallelism does not
+    * collapse to the group count.
     */
-  private[graft] final val Q32EscalateBytes: Long = 8L << 30
+  private[graft] final val Q32EscalateBytes: Long = 4L << 20
 
   /** q32 with the escalation decision exposed (and injectable) — see
     * q32Percentiles. `ranged` is the persisted range-partitioned
