@@ -128,6 +128,47 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline kernel: fused detect+quality+scrub survives the fuzz batch, deterministic") {
+    import graft.pipeline.FilterPipeline
+    val model = graft.train.FixtureCorpus.model
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def runAll(): Vector[FilterPipeline.DocResult] =
+      FilterPipeline.processPartition(model, DetectorConfig.default,
+        (inputs :+ null).zipWithIndex.iterator
+          .map { case (s, i) => (s"https://h$i.example/p", ts, s) }).toVector
+    val a = runAll()
+    val b = runAll() // reused scratch state (wordFreq epochs, detector buffers)
+    assert(a == b, "pipeline kernel not deterministic across partition replays")
+    a.zipWithIndex.foreach { case (r, i) =>
+      assert(r.scrubbed_text != null, s"sample $i: null scrubbed text")
+      assert(!r.confidence.isNaN && r.confidence >= 0.0 && r.confidence <= 1.0,
+        s"sample $i: confidence ${r.confidence}")
+      assert(r.word_count >= 0 && r.n_lines >= 0 && r.max_line_len >= 0, s"sample $i: negative stat")
+      assert(r.repetition_ratio >= 0.0 || r.word_count == 0,
+        s"sample $i: repetition ${r.repetition_ratio} with ${r.word_count} words")
+    }
+  }
+
+  test("extractText: arbitrary bytes (including invalid UTF-8) never crash") {
+    import graft.pipeline.FilterPipeline
+    val rawBytes: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 200)
+      bs <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+    } yield bs.toArray
+    (0 until 200).foreach { i =>
+      val bytes = rawBytes.pureApply(Gen.Parameters.default, Seed(0xb17e5L + i))
+      val a = FilterPipeline.extractText(bytes)
+      assert(a != null && a == FilterPipeline.extractText(bytes), s"byte sample $i")
+    }
+    // and the UTF-8 encodings of the hostile strings, wrapped as pages
+    inputs.take(150).zipWithIndex.foreach { case (s, i) =>
+      val page = ("<html><p>" + s + "</p></html>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val t = FilterPipeline.extractText(page)
+      assert(t != null, s"page sample $i")
+    }
+  }
+
   test("scrubber: no crash and deterministic over the whole fuzz batch (plus null)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
