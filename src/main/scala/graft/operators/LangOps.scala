@@ -81,13 +81,19 @@ object LangOps {
     private val pools =
       new java.util.concurrent.ConcurrentHashMap[Long, ThreadLocal[Detector]]()
     @transient private var hookedCtx: org.apache.spark.SparkContext = _
-    /** One pool-clearing listener per SparkContext (idempotent). */
+    /** One pool-clearing listener per SparkContext (idempotent). The
+      * handler also drops the context reference — otherwise hookedCtx
+      * would pin the STOPPED context (and its object graph) until the
+      * next registerSql in the JVM.
+      */
     def installCleanup(sc: org.apache.spark.SparkContext): Unit = synchronized {
       if (hookedCtx ne sc) {
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
             pools.clear()
+            DetectorPools.synchronized { if (hookedCtx eq sc) hookedCtx = null }
+          }
         })
         hookedCtx = sc
       }

@@ -415,10 +415,19 @@ object Relational {
     // source bytes upper-bound the distinct values any one group can hold
     val escalate =
       li.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(escalateBytes)
-    // release the previous call's escalated caches (q19 handoff pattern)
-    lastQ32Caches.getAndSet(Nil).foreach(_.unpersist(false))
+    // Release the previous call's escalated caches (q19 handoff pattern).
+    // The swap is a single getAndSet (no Nil-then-set window, so two
+    // concurrent calls can't strand an unreleased cache), and unpersist
+    // is best-effort: the previous caches may belong to a STOPPED
+    // context (test teardown, driver restart), where touching its block
+    // manager throws — the new context owes nothing to those blocks.
+    def handoffCaches(next: Seq[DataFrame]): Unit =
+      lastQ32Caches.getAndSet(next).foreach { d =>
+        try d.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      }
 
     if (!escalate) {
+      handoffCaches(Nil)
       // Default shape: the per-group cumsum is single-reducer
       // (sortWithinPartitions behind a fixed-N repartition on (g, tag) —
       // AQE-exempt, the q17/q19 lesson); parallelism is bounded by group
@@ -452,7 +461,7 @@ object Relational {
         .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
         .as[(String, String, Double, Long, Long)]
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lastQ32Caches.set(Seq(vc, ranged.toDF()))
+      handoffCaches(Seq(ranged.toDF()))
 
       val rrdd = ranged.rdd // one RDD instance: both passes share pids
       val partials: Array[((Int, String, String), Long)] = rrdd
@@ -464,6 +473,14 @@ object Relational {
           m.iterator.map { case ((g, tag), s) => ((pid, g, tag), s) }
         }
         .collect() // ≤ nParts · |groups·measures| rows — driver-bounded
+      // vc has served its three consumers (boundary sample, shuffle
+      // write, totals) inside the collect above; the result plan reads
+      // only ranged's cached partitions (a lost block recomputes through
+      // the same physical plan instance — same sampled boundaries — so
+      // the pid ↔ slice mapping survives without vc). Release it now
+      // rather than pinning corpus-scale value counts until the next
+      // q32 call.
+      try vc.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
       val offsets: Map[(Int, String, String), Long] = partials
         .groupBy { case ((_, g, tag), _) => (g, tag) }
         .flatMap { case ((g, tag), arr) =>

@@ -751,7 +751,12 @@ object TextOps {
       // never more than one: each call releases the previous call's cache
       // (ADVICE r4 — Verify dumping all queries used to accumulate them).
       val prev = lastQ19Cache.getAndSet(d)
-      if (prev != null && (prev ne d)) prev.unpersist(false)
+      // best-effort: prev may belong to a STOPPED context (test teardown,
+      // driver restart) whose block manager refuses the call — the new
+      // context owes nothing to those blocks
+      if (prev != null && (prev ne d)) {
+        try prev.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      }
       d
     }
 

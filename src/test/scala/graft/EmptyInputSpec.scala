@@ -63,8 +63,11 @@ object TinyInputs {
     import java.nio.file._
     val root = Paths.get(dir)
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk holds open directory handles — close the stream
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
     }
   }
 }

@@ -110,25 +110,28 @@ class JaccardSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // unregister even on assertion failure: a leaked listener renders
+    // every later query's executedPlan for the rest of the suite
+    val (st, dist) = try {
+      val st = TextOps.q19StagesFromDocs(
+        spark, docsIn, 0.3, hotGramDf = 8L, hotGramBlock = 8L, dfBroadcastMax = 8)
+      val dist = rows(st.distResult())
+      assert(st.usedApproxDfOrder(), "the tiny broadcast cap must force the approximate tier")
+      // dfK in this corpus: the cap keeps the 8 hottest multi-grams; the
+      // tail left unmapped is the df ≤ 2 pair-grams, so the reported bound
+      // must sit in [2, 240]
+      assert(st.approxOrderTailDfBound() >= 2L,
+        s"truncated tier must report a real tail bound, got ${st.approxOrderTailDfBound()}")
 
-    val st = TextOps.q19StagesFromDocs(
-      spark, docsIn, 0.3, hotGramDf = 8L, hotGramBlock = 8L, dfBroadcastMax = 8)
-    val dist = rows(st.distResult())
-    assert(st.usedApproxDfOrder(), "the tiny broadcast cap must force the approximate tier")
-    // dfK in this corpus: the cap keeps the 8 hottest multi-grams; the
-    // tail left unmapped is the df ≤ 2 pair-grams, so the reported bound
-    // must sit in [2, 240]
-    assert(st.approxOrderTailDfBound() >= 2L,
-      s"truncated tier must report a real tail bound, got ${st.approxOrderTailDfBound()}")
-
-    import org.apache.spark.sql.functions.lit
-    spark.range(1).select(lit(1).as("jaccard_sentinel")).collect()
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (!sentinelSeen && System.nanoTime() < deadline) Thread.sleep(20)
-    assert(sentinelSeen, "listener bus never drained")
-    assert(dfAggRuns.get() == 1,
-      s"gram-df aggregate executed ${dfAggRuns.get()} times; the folded fetch must run it once")
-    spark.listenerManager.unregister(listener)
+      import org.apache.spark.sql.functions.lit
+      spark.range(1).select(lit(1).as("jaccard_sentinel")).collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!sentinelSeen && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sentinelSeen, "listener bus never drained")
+      assert(dfAggRuns.get() == 1,
+        s"gram-df aggregate executed ${dfAggRuns.get()} times; the folded fetch must run it once")
+      (st, dist)
+    } finally spark.listenerManager.unregister(listener)
 
     val docsArr = docsIn.as[(String, Long, String)].collect()
       .map { case (_, id, t) => (id, TextOps.shingleHashes(t, TextOps.ShingleSize)) }

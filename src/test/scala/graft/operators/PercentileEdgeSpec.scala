@@ -16,9 +16,14 @@ class PercentileEdgeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private def newDir(): String = java.nio.file.Files
+    .createDirectories(java.nio.file.Paths.get(
+      s"target/q32edge-${java.util.UUID.randomUUID().toString.take(8)}"))
+    .toAbsolutePath.toString
+
   private def writeEdgeTable(): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("q32edge").toString
+    val dir = newDir()
     Seq(
       // group X: n = 1 -> every quantile is the value itself
       ("X", 10.0, 5.0),
@@ -45,10 +50,13 @@ class PercentileEdgeSpec extends AnyFunSuite {
     .toList
 
   test("q32 exact percentiles: single-row, two-row, and duplicate-value groups") {
-    val st = Relational.q32Stages(spark, writeEdgeTable())
-    assert(!st.escalated, "tiny table must stay on the default path")
-    val got = run(st.result)
-    assert(got == want, s"got $got")
+    val dir = writeEdgeTable()
+    try {
+      val st = Relational.q32Stages(spark, dir)
+      assert(!st.escalated, "tiny table must stay on the default path")
+      val got = run(st.result)
+      assert(got == want, s"got $got")
+    } finally graft.TinyInputs.delete(dir)
   }
 
   test("q32 escalated prefix-sum path: same edge cases, group runs split across range partitions") {
@@ -58,10 +66,13 @@ class PercentileEdgeSpec extends AnyFunSuite {
     // partitions, so the bracketing pass MUST consume the broadcast
     // offsets to rank correctly (a zero-offset regression returns wrong
     // quantiles here, not a crash)
-    val st = Relational.q32Stages(spark, writeEdgeTable(), escalateBytes = -1L)
-    assert(st.escalated, "escalateBytes = -1 must force the prefix-sum path")
-    val got = run(st.result)
-    assert(got == want, s"escalated got $got")
+    val dir = writeEdgeTable()
+    try {
+      val st = Relational.q32Stages(spark, dir, escalateBytes = -1L)
+      assert(st.escalated, "escalateBytes = -1 must force the prefix-sum path")
+      val got = run(st.result)
+      assert(got == want, s"escalated got $got")
+    } finally graft.TinyInputs.delete(dir)
   }
 
   test("q32 escalated path matches the default path on real sf0.001 data") {
@@ -73,11 +84,13 @@ class PercentileEdgeSpec extends AnyFunSuite {
 
   test("q32 escalated path survives an empty table") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("q32edge-empty").toString
-    Seq.empty[(String, Double, Double)]
-      .toDF("l_returnflag", "l_extendedprice", "l_quantity")
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    val st = Relational.q32Stages(spark, dir, escalateBytes = -1L)
-    assert(st.escalated && st.result.collect().isEmpty)
+    val dir = newDir()
+    try {
+      Seq.empty[(String, Double, Double)]
+        .toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val st = Relational.q32Stages(spark, dir, escalateBytes = -1L)
+      assert(st.escalated && st.result.collect().isEmpty)
+    } finally graft.TinyInputs.delete(dir)
   }
 }
