@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Concurrent-call gate for the cross-call cache handoffs (q32's
+  * escalated value-counts/ranged caches, q19's shingle cache). The
+  * handoff is a single `getAndSet` swap, so ANY interleaving of
+  * concurrent calls must (a) keep every call's result exact — a sibling's
+  * swap may release the cache a lazy plan was built over, which is a
+  * recompute, never a value change — and (b) strand nothing: each swap
+  * releases exactly what it replaced, so after the dust settles at most
+  * the last swapped-in cache survives, and a settle call releases that.
+  * At crawl scale these operators run from long-lived multi-tenant
+  * drivers (several jobs share one session); a stranded corpus-scale
+  * cache is a slow executor-memory leak and a cross-call unpersist crash
+  * kills an innocent query — nothing else in the suite drives the
+  * handoffs from more than one thread.
+  *
+  * Each concurrent call gets a DISTINCT input (its own table dir /
+  * corpus): identical inputs would canonicalize to one CacheManager
+  * entry and the swap chain would have nothing to release.
+  */
+class ConcurrentHandoffSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def persistedIds(): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Cached-RDD ids added vs `before`, polled briefly: unpersist removes
+    * the registry entry synchronously on the calling thread, but the
+    * settle call's own unpersist may race this check by a beat.
+    */
+  private def newIdsSettled(before: Set[Int]): Set[Int] = {
+    var left = persistedIds() -- before
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (left.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      left = persistedIds() -- before
+    }
+    left
+  }
+
+  private def withPool[A](n: Int)(body: ExecutionContext => A): A = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try body(ExecutionContext.fromExecutor(pool))
+    finally pool.shutdown()
+  }
+
+  // ---- q32: escalated-path caches (vc + ranged) ------------------------
+
+  private def writeLineitem(variant: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(
+        s"target/q32conc-$variant-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .toAbsolutePath.toString
+    val rnd = new scala.util.Random(42 + variant)
+    val flags = Array("A", "N", "R")
+    val rows = (0 until 300).map { _ =>
+      (flags(rnd.nextInt(3)), (rnd.nextInt(20000) + 1) / 4.0, (rnd.nextInt(50) + 1).toDouble)
+    }
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  private def q32Rows(df: org.apache.spark.sql.DataFrame): List[(String, Double, Double, Double)] =
+    df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toList
+
+  test("concurrent escalated q32 calls stay exact and strand no cache") {
+    val dirs = (0 until 4).map(writeLineitem)
+    try {
+      // expected per dir from the DEFAULT path (also cross-checks the two
+      // paths agree on fresh data); MaxValue forces it and its
+      // handoffCaches(Nil) clears any cache a prior suite left swapped in
+      val expected = dirs.map { d =>
+        d -> q32Rows(Relational.q32Stages(spark, d, escalateBytes = Long.MaxValue).result)
+      }.toMap
+      val before = persistedIds()
+
+      val got = withPool(4) { implicit ec =>
+        val futs = (0 until 8).map { i =>
+          val d = dirs(i % dirs.length)
+          Future {
+            val st = Relational.q32Stages(spark, d, escalateBytes = -1L)
+            assert(st.escalated, "forced escalation must take the prefix-sum path")
+            d -> q32Rows(st.result)
+          }
+        }
+        Await.result(Future.sequence(futs), 5.minutes)
+      }
+      got.foreach { case (d, rows) =>
+        assert(rows == expected(d), s"concurrent escalated q32 diverged on $d")
+      }
+
+      // settle: a default-path call swaps in Nil — whatever cache won the
+      // last race gets released here, so nothing may remain
+      q32Rows(Relational.q32Stages(spark, dirs.head, escalateBytes = Long.MaxValue).result)
+      val leaked = newIdsSettled(before)
+      assert(leaked.isEmpty, s"stranded q32 caches (RDD ids): $leaked")
+    } finally dirs.foreach(graft.TinyInputs.delete)
+  }
+
+  // ---- q19: distributed-path shingle cache -----------------------------
+
+  private def corpus(variant: Int): Seq[(String, Long, String)] = {
+    val n = 48 + 4 * variant
+    (0 until n).map { i =>
+      val pair = i / 2
+      // same planted-near-dup shape as JaccardSpec's boilerplate corpus;
+      // the variant suffix keeps each thread's plan distinct
+      val tail = f"v${variant}%dt${pair}%03dx${if (i % 2 == 0) "a" else "b"}"
+      ("web", i.toLong, s"BOILERPLT!$tail")
+    }
+  }
+
+  private def bruteJaccard(docs: Seq[(String, Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    val arr = docs.map { case (_, id, txt) =>
+      (id, TextOps.shingleHashes(txt, TextOps.ShingleSize))
+    }
+    (for {
+      i <- arr.indices.iterator
+      j <- (i + 1) until arr.length
+      jac = TextOps.exactJaccard(arr(i)._2, arr(j)._2)
+      if jac >= t
+    } yield (arr(i)._1, arr(j)._1, math.round(jac * 10000.0) / 10000.0)).toSet
+  }
+
+  private def pairRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("concurrent distributed q19 calls stay exact and strand at most the settle cache") {
+    import spark.implicits._
+    val before = persistedIds()
+
+    val got = withPool(3) { implicit ec =>
+      val futs = (0 until 6).map { i =>
+        val docs = corpus(i)
+        Future {
+          val st = TextOps.q19StagesFromDocs(
+            spark, docs.toDF("source", "doc_id", "text"), 0.3,
+            hotGramDf = 8L, hotGramBlock = 8L)
+          (i, pairRows(st.distResult()))
+        }
+      }
+      Await.result(Future.sequence(futs), 5.minutes)
+    }
+    got.foreach { case (i, rows) =>
+      assert(rows == bruteJaccard(corpus(i), 0.3), s"concurrent distributed q19 diverged on variant $i")
+    }
+
+    // settle: one more distributed call swaps its own cache in (releasing
+    // the race's survivor), then releases it by hand — q19 keeps no
+    // Nil-handoff path because a sequential caller's lazy result plan
+    // still needs the last cache alive
+    val st = TextOps.q19StagesFromDocs(
+      spark, corpus(99).toDF("source", "doc_id", "text"), 0.3,
+      hotGramDf = 8L, hotGramBlock = 8L)
+    pairRows(st.distResult())
+    st.docs().unpersist(false)
+    val leaked = newIdsSettled(before)
+    assert(leaked.isEmpty, s"stranded q19 caches (RDD ids): $leaked")
+  }
+}
