@@ -82,6 +82,47 @@ class PercentileEdgeSpec extends AnyFunSuite {
     assert(esc == dflt, s"escalated $esc vs default $dflt")
   }
 
+  test("q32 dual-path equality on degenerate and seeded-random shapes") {
+    // Shapes the oracle corpus and the edge table never hand the ESCALATED
+    // path: an all-equal table (boundary sampling degenerates to one key —
+    // every range partition but one is empty, offsets must still rank), more
+    // groups than shuffle partitions (many groups per value slice in the
+    // per-(partition, group) subtotals), duplicate skew where one value
+    // carries ~90% of a group's count, and a seeded-random mixture with
+    // negative prices. Contract: escalated ≡ default exactly — both paths
+    // share every rank/interpolation definition, so any divergence is a bug
+    // in the prefix-sum machinery itself.
+    import spark.implicits._
+    def table(rows: Seq[(String, Double, Double)]): String = {
+      val dir = newDir()
+      rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .repartition(3).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[(String, Seq[(String, Double, Double)])] = Seq(
+      "all-equal" -> Seq.fill(64)(("A", 5.0, 2.0)),
+      "groups>partitions" -> (0 until 40).flatMap(g =>
+        Seq((f"g$g%02d", g + 1.0, 1.0), (f"g$g%02d", g + 3.0, 3.0),
+          (f"g$g%02d", g + 9.0, 5.0))),
+      "skew" -> (Seq.fill(90)(("A", 1.0, 1.0)) ++
+        (1 to 10).map(i => ("A", 1.0 + i, 2.0)) ++
+        Seq.fill(20)(("B", -3.5, 4.0))),
+      "random" -> (0 until 500).map(_ =>
+        (Seq("A", "N", "R")(rnd.nextInt(3)),
+          (rnd.nextInt(4000) - 2000) / 4.0, (rnd.nextInt(40) + 1).toDouble)))
+    shapes.foreach { case (name, rowsIn) =>
+      val dir = table(rowsIn)
+      try {
+        val dflt = Relational.q32Stages(spark, dir, escalateBytes = Long.MaxValue)
+        assert(!dflt.escalated, s"$name: MaxValue threshold must keep the default path")
+        val esc = Relational.q32Stages(spark, dir, escalateBytes = -1L)
+        assert(esc.escalated, s"$name: -1 threshold must force the prefix-sum path")
+        assert(run(esc.result) == run(dflt.result), s"dual-path divergence on shape $name")
+      } finally graft.TinyInputs.delete(dir)
+    }
+  }
+
   test("q32 escalated path survives an empty table") {
     import spark.implicits._
     val dir = newDir()
