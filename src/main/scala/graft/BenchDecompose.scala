@@ -63,7 +63,7 @@ object BenchDecompose {
         timed("j_dist_candidates") { noop(st.distCandidates()) }
         println(s"DECOMP j_rows prefixes=${st.distPrefixes().count()} " +
           s"rawPairs=${st.distRawPairs().count()} candidates=${st.distCandidates().count()}")
-        st.docs().unpersist()
+        graft.operators.TextOps.releaseQ19Cache()
       case "jcold" =>
         // Full COLD q19 calls (fresh q19Stages each time, the Bench shape)
         // with per-stage durations — attributes the gap between the warm

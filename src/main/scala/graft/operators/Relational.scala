@@ -295,13 +295,6 @@ object Relational {
   private[graft] final case class PercentileStages(
       result: DataFrame, escalated: Boolean, ranged: Option[DataFrame])
 
-  /** Last escalated-q32 caches — released by the NEXT q32 call (the lazy
-    * result plan needs them alive after q32Stages returns; the q19
-    * cache-handoff pattern).
-    */
-  private val lastQ32Caches =
-    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
-
   private[graft] def q32Stages(
       spark: SparkSession, sfDir: String,
       escalateBytes: Long = Q32EscalateBytes): PercentileStages = {
@@ -415,19 +408,8 @@ object Relational {
     // source bytes upper-bound the distinct values any one group can hold
     val escalate =
       li.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(escalateBytes)
-    // Release the previous call's escalated caches (q19 handoff pattern).
-    // The swap is a single getAndSet (no Nil-then-set window, so two
-    // concurrent calls can't strand an unreleased cache), and unpersist
-    // is best-effort: the previous caches may belong to a STOPPED
-    // context (test teardown, driver restart), where touching its block
-    // manager throws — the new context owes nothing to those blocks.
-    def handoffCaches(next: Seq[DataFrame]): Unit =
-      lastQ32Caches.getAndSet(next).foreach { d =>
-        try d.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
-      }
 
     if (!escalate) {
-      handoffCaches(Nil)
       // Default shape: the per-group cumsum is single-reducer
       // (sortWithinPartitions behind a fixed-N repartition on (g, tag) —
       // AQE-exempt, the q17/q19 lesson); parallelism is bounded by group
@@ -446,23 +428,39 @@ object Relational {
       // (g, tag, v) slice (sampled boundaries), so cumulative ranks =
       // per-partition local cumsum + a per-(partition, group) offset from
       // the driver prefix of the ≤ nParts·|groups·measures| subtotals.
-      // vc is persisted so the range sampling job, the shuffle write, and
-      // the totals branch each read the value-counts once (at warehouse
-      // scale this cache is a checkpointed intermediate; MEMORY_AND_DISK
-      // spills rather than OOMs). `ranged` is persisted because three
-      // consumers walk the SAME materialized partitions — the subtotal
-      // pass, the bracketing pass, and the sampled boundaries they both
-      // depend on — and pinning it is what makes the pid ↔ value-slice
-      // mapping stable across those jobs.
-      vc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ranged = joined
+      //
+      // The value-counts are pinned for their three consumers (the totals
+      // broadcast, the range-boundary sampling job, and the range
+      // shuffle's map stage) as a PLAIN RDD behind a LogicalRDD barrier,
+      // NOT a Dataset cache. A Dataset cache is keyed by canonicalized
+      // plan, so two CONCURRENT q32 calls over the same input share one
+      // CacheManager entry, and the first finisher's release strands an
+      // unreachable rebuilt copy: the sibling's retained InMemoryTableScan
+      // lazily re-persists the buffers after clearCache, and with the
+      // entry gone no later unpersist can find them (caught by
+      // ConcurrentHandoffSpec). An RDD persist is per-call-owned — no
+      // cross-call plan dedup — and its unpersist is terminal: a
+      // post-release recompute runs storage-free instead of
+      // re-registering. MEMORY_AND_DISK spills rather than OOMs; at
+      // warehouse scale this pin is a checkpointed intermediate.
+      val vcRdd = vc.as[(String, String, Double, Long)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vcDs = spark.createDataset(vcRdd).toDF("g", "tag", "v", "cnt")
+      val totalsEsc = vcDs.groupBy(col("g"), col("tag")).agg(sum(col("cnt")).as("n"))
+      val ranged = vcDs.join(broadcast(totalsEsc), Seq("g", "tag"))
         .repartitionByRange(nParts, col("g"), col("tag"), col("v"))
         .sortWithinPartitions(col("g"), col("tag"), col("v"))
         .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
         .as[(String, String, Double, Long, Long)]
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      handoffCaches(Seq(ranged.toDF()))
-
+      // `ranged` is deliberately NOT persisted: the subtotal and
+      // bracketing passes share ONE RDD instance (rrdd below), so the
+      // range boundaries are sampled once and the shuffle files are
+      // reused across both — the pid ↔ value-slice mapping is pinned by
+      // the shared ShuffleDependency, not by a cache. The second pass
+      // pays a shuffle read plus an in-partition re-sort of the
+      // value-counts; in exchange the operator keeps ZERO cross-call
+      // state (the retired cross-call cache registry here was the other
+      // half of the rebuild-strand class above).
       val rrdd = ranged.rdd // one RDD instance: both passes share pids
       val partials: Array[((Int, String, String), Long)] = rrdd
         .mapPartitionsWithIndex { (pid, it) =>
@@ -473,14 +471,11 @@ object Relational {
           m.iterator.map { case ((g, tag), s) => ((pid, g, tag), s) }
         }
         .collect() // ≤ nParts · |groups·measures| rows — driver-bounded
-      // vc has served its three consumers (boundary sample, shuffle
-      // write, totals) inside the collect above; the result plan reads
-      // only ranged's cached partitions (a lost block recomputes through
-      // the same physical plan instance — same sampled boundaries — so
-      // the pid ↔ slice mapping survives without vc). Release it now
-      // rather than pinning corpus-scale value counts until the next
-      // q32 call.
-      try vc.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+      // The value-counts have served all three consumers inside the
+      // collect above; the result plan re-reads only ranged's shuffle
+      // files. Terminal release — a recompute after an executor-loss
+      // shuffle-file eviction re-runs the value-counts agg storage-free.
+      try vcRdd.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
       val offsets: Map[(Int, String, String), Long] = partials
         .groupBy { case ((_, g, tag), _) => (g, tag) }
         .flatMap { case ((g, tag), arr) =>

@@ -637,10 +637,29 @@ object TextOps {
   final val HotGramBlock = 4096L
 
   /** Last q19 shingle cache — released by the NEXT q19 call (the lazy
-    * result plan needs it alive after q19Stages returns).
+    * result plan needs it alive after q19Stages returns). Holds a PLAIN
+    * RDD, not a cached Dataset: a Dataset cache is keyed by canonicalized
+    * plan, shared across concurrent same-input calls, and releasing it
+    * while a sibling's retained InMemoryTableScan can still execute
+    * strands an unreachable rebuilt copy (CachedRDDBuilder re-persists
+    * after clearCache; the CacheManager entry is gone, so no later
+    * unpersist finds it — caught by ConcurrentHandoffSpec). An RDD
+    * persist is per-call-owned and its unpersist terminal: a post-release
+    * recompute runs storage-free instead of re-registering.
     */
   private val lastQ19Cache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** Release the swapped-in shingle cache eagerly (tests and
+    * BenchDecompose; a sequential caller normally leaves it to the next
+    * q19 call's swap).
+    */
+  private[graft] def releaseQ19Cache(): Unit = {
+    val prev = lastQ19Cache.getAndSet(null)
+    if (prev != null) {
+      try prev.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   private[graft] def q19Stages(spark: SparkSession, sfDir: String, threshold: Double): JaccardStages =
     q19StagesFromDocs(
@@ -737,27 +756,29 @@ object TextOps {
     // another window of interference exposure (the round-3 driver window
     // measured this query at 4× its quiet cost). At warehouse scale the
     // same reuse is a checkpointed intermediate table; the storage level
-    // spills to disk so the cache never OOMs a task.
+    // spills to disk so the cache never OOMs a task. The pin is a PLAIN
+    // RDD behind a LogicalRDD barrier (see lastQ19Cache): per-call-owned,
+    // terminally releasable, safe against a concurrent sibling's swap.
     lazy val docs = {
-      val d = docsIn
+      val r = docsIn
         .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
         .as[(String, Long, String)]
         .map { case (src, id, text) =>
           (src, id, if (text == null) Array.emptyLongArray else shingleHashes(text, ShingleSize))
         }
-        .toDF("source", "doc_id", "shingles")
+        .rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // One cache may outlive this call (the returned plan is lazy), but
       // never more than one: each call releases the previous call's cache
       // (ADVICE r4 — Verify dumping all queries used to accumulate them).
-      val prev = lastQ19Cache.getAndSet(d)
+      val prev = lastQ19Cache.getAndSet(r)
       // best-effort: prev may belong to a STOPPED context (test teardown,
       // driver restart) whose block manager refuses the call — the new
       // context owes nothing to those blocks
-      if (prev != null && (prev ne d)) {
+      if (prev != null && (prev ne r)) {
         try prev.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
       }
-      d
+      spark.createDataset(r).toDF("source", "doc_id", "shingles")
     }
 
     lazy val grams = docs.select($"source", $"doc_id", explode($"shingles").as("gram"))

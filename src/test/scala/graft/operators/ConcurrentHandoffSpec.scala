@@ -162,14 +162,14 @@ class ConcurrentHandoffSpec extends AnyFunSuite {
     }
 
     // settle: one more distributed call swaps its own cache in (releasing
-    // the race's survivor), then releases it by hand — q19 keeps no
-    // Nil-handoff path because a sequential caller's lazy result plan
+    // the race's survivor), then releases it via the registry — q19 keeps
+    // no Nil-handoff path because a sequential caller's lazy result plan
     // still needs the last cache alive
     val st = TextOps.q19StagesFromDocs(
       spark, corpus(99).toDF("source", "doc_id", "text"), 0.3,
       hotGramDf = 8L, hotGramBlock = 8L)
     pairRows(st.distResult())
-    st.docs().unpersist(false)
+    TextOps.releaseQ19Cache()
     val leaked = newIdsSettled(before)
     assert(leaked.isEmpty, s"stranded q19 caches (RDD ids): $leaked")
   }

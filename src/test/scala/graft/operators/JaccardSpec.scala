@@ -27,7 +27,7 @@ class JaccardSpec extends AnyFunSuite {
       val dist = rows(st.distResult())
       assert(local == dist,
         s"$sf: local ${local.size} vs dist ${dist.size}; diff=${(local diff dist) ++ (dist diff local)}")
-      st.docs().unpersist()
+      TextOps.releaseQ19Cache()
     }
   }
 
@@ -72,7 +72,7 @@ class JaccardSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
     assert(maxPerKey <= 6 * 8 && maxPerKey < n / 4,
       s"blocked posting lists must stay bounded, got $maxPerKey rows in one key")
-    st.docs().unpersist()
+    TextOps.releaseQ19Cache()
   }
 
   test("approximate df order (top-K hot + df=1 tail) stays exact and bounded") {
@@ -151,7 +151,7 @@ class JaccardSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("count")).collect()(0).getLong(0)
     assert(maxPerKey <= 6 * 8 && maxPerKey < n / 4,
       s"approx order must keep posting lists bounded, got $maxPerKey")
-    st.docs().unpersist()
+    TextOps.releaseQ19Cache()
   }
 
   test("null, empty, and sub-shingle-length texts never pair and never crash either plan") {
@@ -178,7 +178,7 @@ class JaccardSpec extends AnyFunSuite {
     assert(local == dist, s"local $local vs dist $dist")
     assert(local.map { case (a, b, _) => (a, b) } == Set((4L, 5L)),
       s"only the planted pair may survive, got $local")
-    st.docs().unpersist()
+    TextOps.releaseQ19Cache()
   }
 
   test("local plan emits ordered pairs with exact jaccard at a lower threshold") {
@@ -189,6 +189,6 @@ class JaccardSpec extends AnyFunSuite {
     val dist = rows(st.distResult())
     assert(local == dist, s"t=0.15: local ${local.size} vs dist ${dist.size}")
     assert(local.forall { case (a, b, j) => a < b && j >= 0.15 })
-    st.docs().unpersist()
+    TextOps.releaseQ19Cache()
   }
 }
