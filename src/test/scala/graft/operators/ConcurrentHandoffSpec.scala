@@ -6,23 +6,30 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration._
 
-/** Concurrent-call gate for the cross-call cache handoffs (q32's
-  * escalated value-counts/ranged caches, q19's shingle cache). The
-  * handoff is a single `getAndSet` swap, so ANY interleaving of
-  * concurrent calls must (a) keep every call's result exact — a sibling's
-  * swap may release the cache a lazy plan was built over, which is a
-  * recompute, never a value change — and (b) strand nothing: each swap
-  * releases exactly what it replaced, so after the dust settles at most
-  * the last swapped-in cache survives, and a settle call releases that.
+/** Concurrent-call gate for the operators that pin intermediates
+  * (q19's cross-call shingle-cache handoff, q32's escalated-path
+  * value-counts pin). The pins are PLAIN per-call-owned RDD persists,
+  * never Dataset caches: a Dataset cache is keyed by canonicalized
+  * plan, so concurrent SAME-INPUT calls share one CacheManager entry
+  * and the first finisher's release strands a lazily re-persisted copy
+  * no later unpersist can find — this gate caught exactly that. Any
+  * interleaving of concurrent calls must (a) keep every call's result
+  * exact — q19's sibling swap may release the cache a lazy plan was
+  * built over, which is a recompute, never a value change — and
+  * (b) strand nothing: q32's escalated path keeps ZERO cross-call
+  * state (its pin is terminally released inside the call), and q19's
+  * getAndSet chain releases exactly what it replaced, so at most the
+  * last swapped-in shingle cache survives until the settle release.
   * At crawl scale these operators run from long-lived multi-tenant
   * drivers (several jobs share one session); a stranded corpus-scale
-  * cache is a slow executor-memory leak and a cross-call unpersist crash
-  * kills an innocent query — nothing else in the suite drives the
-  * handoffs from more than one thread.
+  * cache is a slow executor-memory leak and a cross-call unpersist
+  * crash kills an innocent query — nothing else in the suite drives
+  * the operators from more than one thread.
   *
-  * Each concurrent call gets a DISTINCT input (its own table dir /
-  * corpus): identical inputs would canonicalize to one CacheManager
-  * entry and the swap chain would have nothing to release.
+  * q32's futures deliberately REUSE input dirs (two calls per dir):
+  * same-input calls are the shape whose plans canonicalize alike —
+  * the one that exposed the Dataset-cache strand. q19's corpora stay
+  * distinct per call so a divergence is attributable to its variant.
   */
 class ConcurrentHandoffSpec extends AnyFunSuite {
   private lazy val spark = SparkSession.builder()
@@ -83,8 +90,7 @@ class ConcurrentHandoffSpec extends AnyFunSuite {
     val dirs = (0 until 4).map(writeLineitem)
     try {
       // expected per dir from the DEFAULT path (also cross-checks the two
-      // paths agree on fresh data); MaxValue forces it and its
-      // handoffCaches(Nil) clears any cache a prior suite left swapped in
+      // paths agree on fresh data); MaxValue forces it
       val expected = dirs.map { d =>
         d -> q32Rows(Relational.q32Stages(spark, d, escalateBytes = Long.MaxValue).result)
       }.toMap
@@ -105,9 +111,9 @@ class ConcurrentHandoffSpec extends AnyFunSuite {
         assert(rows == expected(d), s"concurrent escalated q32 diverged on $d")
       }
 
-      // settle: a default-path call swaps in Nil — whatever cache won the
-      // last race gets released here, so nothing may remain
-      q32Rows(Relational.q32Stages(spark, dirs.head, escalateBytes = Long.MaxValue).result)
+      // no settle call: the escalated path keeps ZERO cross-call state —
+      // every pin is terminally released inside the call, so nothing may
+      // remain persisted once the futures have all returned
       val leaked = newIdsSettled(before)
       assert(leaked.isEmpty, s"stranded q32 caches (RDD ids): $leaked")
     } finally dirs.foreach(graft.TinyInputs.delete)
