@@ -17,6 +17,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Numerics are kept bit-identical to the previous formulation AND the
   * DuckDB oracle (`list_dot_product` based): left-to-right double
   * accumulation of dot/normA/normB, then `dot / (sqrt(na) * sqrt(nb))`.
+  *
+  * CORRUPT-EMBEDDING CONVENTION: a NaN result (zero-norm vector — 0/0 —
+  * or a NaN-poisoned element, both real artifacts of a failed embedder
+  * at crawl scale) is mapped to 0.0, "no similarity". Unguarded, the
+  * NaN would WIN every descending top-k: Spark's double ordering places
+  * NaN above every real value, so one zero vector in a 100 TB corpus
+  * would outrank the genuine nearest neighbor of EVERY query (and pass
+  * no `>= t` threshold on the near-dup path — the two consumers would
+  * silently disagree). 0.0 keeps corrupt vectors out of top-ks and
+  * below every meaningful threshold on all consumers at the cost of one
+  * isNaN test per pair. Fixture embeddings are finite and non-zero, so
+  * the DuckDB-oracle comparison is unaffected.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -57,7 +69,10 @@ object CosineSim {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val r = dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm (0/0) or NaN-poisoned input → "no similarity" (see the
+    // corrupt-embedding convention in the class scaladoc)
+    if (java.lang.Double.isNaN(r)) 0.0 else r
   }
 
   def apply(a: Column, b: Column): Column =

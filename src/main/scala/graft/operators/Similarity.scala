@@ -166,6 +166,9 @@ object Similarity {
                 var d = 0
                 while (d < v.length) { dot += v(d) * hv(d); d += 1 }
                 val cos = dot / (qNorm * hn)
+                // corrupt vector (zero-norm/NaN) → cos NaN → both
+                // comparisons false → self-excluded, matching CosineSim's
+                // corrupt-embedding convention
                 if (cos > bestCos || (cos == bestCos && hid < bestId)) {
                   bestCos = cos; bestId = hid
                 }
@@ -598,10 +601,18 @@ object Similarity {
         var n2 = 0.0
         var i = 0
         while (i < v.length) { n2 += v(i) * v(i); i += 1 }
-        val inv = if (n2 > 0.0) 1.0 / math.sqrt(n2) else 0.0
         val u = new Array[Double](v.length)
-        i = 0
-        while (i < v.length) { u(i) = v(i) * inv; i += 1 }
+        // Corrupt embeddings (NaN-poisoned, zero-norm, or norm overflow)
+        // normalize to the ZERO vector — `v(i) * 0.0` is NaN for a NaN
+        // element, and one NaN member in a Lloyd mean poisons its
+        // centroid and kills the whole cell. A zero vector instead joins
+        // some cell harmlessly, scores cosine 0.0 (CosineSim's
+        // corrupt-embedding convention), and never surfaces in a top-k.
+        if (n2 > 0.0 && n2 <= Double.MaxValue) {
+          val inv = 1.0 / math.sqrt(n2)
+          i = 0
+          while (i < v.length) { u(i) = v(i) * inv; i += 1 }
+        }
         (id, u)
       }
       .toDF("vec_id", "v")
@@ -778,6 +789,8 @@ object Similarity {
                 var d = 0
                 while (d < v.length) { dot += v(d) * hv(d); d += 1 }
                 val cos = dot / (qNorm * hn)
+                // corrupt vector → cos NaN → `>=` false → never pairs
+                // (CosineSim's corrupt-embedding convention)
                 if (cos >= threshold)
                   Iterator.single((math.min(id, hid), math.max(id, hid), cos))
                 else Iterator.empty

@@ -149,4 +149,56 @@ class SimilaritySpec extends AnyFunSuite {
     // more tables beyond the cap, not more planes)
     assert(Similarity.planesFor(1L << 40) == Similarity.MaxPlanes)
   }
+
+  test("corrupt embeddings (zero-norm, NaN-poisoned) score 0.0 and never displace genuine neighbors") {
+    import spark.implicits._
+    // Kernel convention: a NaN cosine (0/0 from a zero-norm vector, or a
+    // NaN-poisoned element — both real failed-embedder artifacts at crawl
+    // scale) maps to 0.0. Unguarded, Spark sorts NaN ABOVE every double,
+    // so ONE failed embed would take rank 1 in every descending top-k.
+    val probe = Seq(
+      (1L, Array(1.0, 0.5)), (2L, Array(0.9, 0.4)),
+      (900L, Array(0.0, 0.0)), (901L, Array(Double.NaN, 1.0)))
+      .toDF("vec_id", "v")
+    val sims = probe.as("a").join(probe.as("b"), expr("a.vec_id < b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        Similarity.cosineCol(col("a.v"), col("b.v")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(sims.forall(s => !s._3.isNaN), s"kernel emitted NaN: ${sims.mkString(",")}")
+    assert(sims.filter(s => s._1 >= 900L || s._2 >= 900L).forall(_._3 == 0.0),
+      "corrupt vectors must score exactly 0.0 against everything")
+
+    // End-to-end over all three ANN surfaces: genuine vectors all sit in
+    // the positive orthant (every true pairwise cosine > 0), so a corrupt
+    // vector's 0.0 can never legitimately enter a top-k — if one appears,
+    // the guard regressed. IVF additionally exercises the normalize guard
+    // (a NaN member in a Lloyd mean would poison its centroid's cell).
+    val rng = new graft.train.FixtureCorpus.Rng(0xbadd0cL)
+    def vec(): Array[Float] =
+      Array.fill(16)(0.1f + (rng.nextLong() >>> 40).toFloat / (1L << 24) * 0.9f)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0L until 40L).map(i => (i, vec(), 0)) ++ Seq(
+        (900L, Array.fill(16)(0.0f), 0),
+        (901L, { val v = vec(); v(3) = Float.NaN; v }, 0))
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      s"target/corrupt-emb-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .toAbsolutePath.toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      val topk = Similarity.q20AnnBruteForce(spark, dir)
+        .select($"query_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+      assert(topk.nonEmpty && topk.forall(r => !r._3.isNaN))
+      assert(topk.forall(_._2 < 900L),
+        s"corrupt id in exact top-k: ${topk.filter(_._2 >= 900L).mkString(",")}")
+      val lsh = Similarity.q26LshAnn(spark, dir)
+        .select($"vec_id", $"ann_vec_id", $"cos").as[(Long, Long, Double)].collect()
+      assert(lsh.nonEmpty && lsh.forall(r => !r._3.isNaN))
+      assert(lsh.forall(_._2 < 900L), "corrupt id chosen as an LSH neighbor")
+      val ivf = Similarity.q30IvfAnn(spark, dir)
+        .select($"query_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+      assert(ivf.nonEmpty && ivf.forall(r => !r._3.isNaN))
+      assert(ivf.forall(_._2 < 900L), "corrupt id surfaced by IVF")
+    } finally graft.TinyInputs.delete(dir)
+  }
 }
