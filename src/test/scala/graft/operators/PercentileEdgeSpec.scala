@@ -110,7 +110,27 @@ class PercentileEdgeSpec extends AnyFunSuite {
         Seq.fill(20)(("B", -3.5, 4.0))),
       "random" -> (0 until 500).map(_ =>
         (Seq("A", "N", "R")(rnd.nextInt(3)),
-          (rnd.nextInt(4000) - 2000) / 4.0, (rnd.nextInt(40) + 1).toDouble)))
+          (rnd.nextInt(4000) - 2000) / 4.0, (rnd.nextInt(40) + 1).toDouble)),
+      // Non-finite measures (a crawl-scale quality score that divided by
+      // zero): NaN sorts ABOVE +Inf in Spark's double ordering, so NaN
+      // rows land at the top ranks and an interpolation whose bracket
+      // touches one goes NaN — the contract here is not a particular
+      // value but that BOTH paths (range boundaries sampled over NaN
+      // keys included) produce bit-identical output instead of the
+      // escalated path crashing or ranking NaN differently. -0.0 probes
+      // the group-key normalization both paths must share.
+      "non-finite" -> (Seq.fill(30)(("A", 2.0, 1.0)) ++ Seq(
+        ("A", Double.NaN, 1.0), ("A", Double.PositiveInfinity, 2.0),
+        ("A", Double.NegativeInfinity, 3.0), ("A", -0.0, Double.NaN),
+        ("B", Double.NaN, Double.NaN)) ++
+        (1 to 10).map(i => ("B", i.toDouble, 1.0))))
+    // bit-canonical comparison: tuple == is false for (NaN, NaN) even
+    // when the paths agree; doubleToLongBits folds every NaN to one
+    // pattern and still distinguishes -0.0 from 0.0
+    def bits(l: List[(String, Double, Double, Double)]) = l.map { case (g, a, b, c) =>
+      (g, java.lang.Double.doubleToLongBits(a),
+        java.lang.Double.doubleToLongBits(b), java.lang.Double.doubleToLongBits(c))
+    }
     shapes.foreach { case (name, rowsIn) =>
       val dir = table(rowsIn)
       try {
@@ -118,7 +138,8 @@ class PercentileEdgeSpec extends AnyFunSuite {
         assert(!dflt.escalated, s"$name: MaxValue threshold must keep the default path")
         val esc = Relational.q32Stages(spark, dir, escalateBytes = -1L)
         assert(esc.escalated, s"$name: -1 threshold must force the prefix-sum path")
-        assert(run(esc.result) == run(dflt.result), s"dual-path divergence on shape $name")
+        val (e, d) = (run(esc.result), run(dflt.result))
+        assert(bits(e) == bits(d), s"dual-path divergence on shape $name: esc=$e dflt=$d")
       } finally graft.TinyInputs.delete(dir)
     }
   }
