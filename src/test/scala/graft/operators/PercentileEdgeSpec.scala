@@ -155,4 +155,49 @@ class PercentileEdgeSpec extends AnyFunSuite {
       assert(st.escalated && st.result.collect().isEmpty)
     } finally graft.TinyInputs.delete(dir)
   }
+
+  test("q32 equals a sort-based brute-force quantile_cont on seeded random tables, both paths") {
+    // Independent oracle beyond the DuckDB SFs and the dual-path gate:
+    // sort each group's values driver-side and interpolate with the
+    // SAME formula (pos = (n−1)·q; lo + (hi−lo)·frac; round(_, 2) =
+    // BigDecimal.valueOf HALF_UP, what Spark's Round does for doubles) —
+    // IEEE ops in the same order are bit-identical across Catalyst
+    // codegen and Scala, so the comparison is exact equality, not a
+    // tolerance. Values are quarter-grid so sums/differences stay
+    // representable; duplicates and 1-row groups arise naturally from
+    // the small value ranges.
+    import spark.implicits._
+    def round2(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+    def quantileCont(vs: Array[Double], q: Double): Double = {
+      val pos = (vs.length - 1) * q
+      val lo = vs(math.floor(pos).toInt)
+      val hi = vs(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val rnd = new scala.util.Random(0x5eed32)
+    (0 until 8).foreach { t =>
+      val nGroups = 1 + rnd.nextInt(5)
+      val rows = (0 until (1 + rnd.nextInt(400))).map { _ =>
+        (s"G${rnd.nextInt(nGroups)}",
+          (rnd.nextInt(8000) - 4000) / 4.0, (rnd.nextInt(200) + 1) / 4.0)
+      }
+      val expected = rows.groupBy(_._1).toList.sortBy(_._1).map { case (g, rs) =>
+        val prices = rs.map(_._2).sorted.toArray
+        val qtys = rs.map(_._3).sorted.toArray
+        (g, round2(quantileCont(prices, 0.5)), round2(quantileCont(prices, 0.95)),
+          round2(quantileCont(qtys, 0.25)))
+      }
+      val dir = newDir()
+      rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+        .repartition(3).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      try {
+        val dflt = run(Relational.q32Stages(spark, dir, escalateBytes = Long.MaxValue).result)
+        val esc = run(Relational.q32Stages(spark, dir, escalateBytes = -1L).result)
+        assert(dflt == expected, s"table $t default path: got $dflt want $expected")
+        assert(esc == expected, s"table $t escalated path: got $esc want $expected")
+      } finally graft.TinyInputs.delete(dir)
+    }
+  }
 }
