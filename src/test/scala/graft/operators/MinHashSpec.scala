@@ -64,4 +64,54 @@ class MinHashSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fallback == brutePairs(sf, 0.7))
   }
+
+  test("q17 on a seeded random corpus with planted dup clusters equals brute force, both paths") {
+    // Shapes the fixture corpus never hands the banding: transitive dup
+    // CLUSTERS (k mutual near-dups funnel C(k,2) pairs through shared
+    // buckets), sub-shingle and very short docs, and unrelated random
+    // docs whose pairwise J ≈ 0. Dups mutate ~5 % of words, landing the
+    // true J well above the 0.7 threshold where the 32×4 banding miss
+    // probability is negligible — and every hash here is deterministic,
+    // so the gate is stable, not a per-run lottery.
+    import spark.implicits._
+    val rng = new graft.train.FixtureCorpus.Rng(0x17c0deL)
+    def word(): String = {
+      val len = 3 + rng.nextInt(6)
+      (0 until len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    def doc(nWords: Int): String = (0 until nWords).map(_ => word()).mkString(" ")
+    def mutate(base: String): String =
+      base.split(" ").map(w => if (rng.nextInt(20) == 0) word() else w).mkString(" ")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (0 until 60).foreach { _ => // unrelated docs, incl. sub-shingle lengths
+      buf += ((id, doc(1 + rng.nextInt(60)))); id += 1
+    }
+    (2 to 7).foreach { k => // dup clusters of sizes 2..7
+      val base = doc(40 + rng.nextInt(40))
+      (0 until k).foreach { _ => buf += ((id, mutate(base))); id += 1 }
+    }
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      s"target/q17rand-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .toAbsolutePath.toString
+    buf.toSeq.toDF("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val docsArr = buf.toSeq.map { case (i, t) => (i, TextOps.shingleHashes(t, TextOps.ShingleSize)) }
+      val want = (for {
+        i <- docsArr.indices.iterator
+        j <- (i + 1) until docsArr.length
+        jac = TextOps.exactJaccard(docsArr(i)._2, docsArr(j)._2)
+        if jac >= 0.7
+      } yield (docsArr(i)._1, docsArr(j)._1, math.round(jac * 10000.0) / 10000.0)).toSet
+      assert(want.size >= 20, s"corpus must plant cluster pairs, got ${want.size}")
+      val got = TextOps.q17MinHashPairsImpl(spark, dir, 0.7, 4 << 20, 16L << 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want,
+        s"broadcast path: q17 ${got.size} vs brute ${want.size}; diff=${(got diff want) ++ (want diff got)}")
+      val fb = TextOps.q17MinHashPairsImpl(spark, dir, 0.7, candCap = 0, shingleLongsCap = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fb == want, s"fallback path diverged: ${(fb diff want) ++ (want diff fb)}")
+    } finally graft.TinyInputs.delete(dir)
+  }
 }
