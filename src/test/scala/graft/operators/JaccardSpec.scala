@@ -191,4 +191,61 @@ class JaccardSpec extends AnyFunSuite {
     assert(local.forall { case (a, b, j) => a < b && j >= 0.15 })
     TextOps.releaseQ19Cache()
   }
+
+  test("both plans equal brute force on a seeded random dup-cluster corpus across two sources") {
+    // Random structure the boilerplate corpora never hand the ppjoin:
+    // transitive dup clusters of mixed size, docs of wildly mixed length
+    // (incl. sub-shingle), and TWO sources — cross-source near-identical
+    // texts must never pair (the prefix key folds the source hash). The
+    // ppjoin is exact (no banding probability), so the gate holds at the
+    // borderline-happy 0.3 threshold used by the oracle query.
+    import spark.implicits._
+    val rng = new graft.train.FixtureCorpus.Rng(0x19c0deL)
+    def word(): String = {
+      val len = 3 + rng.nextInt(6)
+      (0 until len).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    def doc(nWords: Int): String = (0 until nWords).map(_ => word()).mkString(" ")
+    def mutate(base: String): String =
+      base.split(" ").map(w => if (rng.nextInt(12) == 0) word() else w).mkString(" ")
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    var id = 0L
+    Seq("s0", "s1").foreach { src =>
+      (0 until 30).foreach { _ => buf += ((src, id, doc(1 + rng.nextInt(50)))); id += 1 }
+      (2 to 5).foreach { k =>
+        val base = doc(30 + rng.nextInt(30))
+        (0 until k).foreach { _ => buf += ((src, id, mutate(base))); id += 1 }
+      }
+    }
+    // planted cross-source IDENTICAL pair — must stay unpaired
+    val shared = doc(40)
+    buf += (("s0", id, shared)); id += 1
+    buf += (("s1", id, shared)); id += 1
+
+    val bySrc = buf.groupBy(_._1)
+    val want = bySrc.values.flatMap { ds =>
+      val arr = ds.map { case (_, i, t) => (i, TextOps.shingleHashes(t, TextOps.ShingleSize)) }.toArray
+      for {
+        i <- arr.indices
+        j <- (i + 1) until arr.length
+        jac = TextOps.exactJaccard(arr(i)._2, arr(j)._2)
+        if jac >= 0.3
+      } yield (math.min(arr(i)._1, arr(j)._1), math.max(arr(i)._1, arr(j)._1),
+        math.round(jac * 10000.0) / 10000.0)
+    }.toSet
+    assert(want.size >= 10, s"corpus must plant cluster pairs, got ${want.size}")
+    assert(!want.exists { case (a, b, _) => a == id - 2 && b == id - 1 },
+      "sanity: the cross-source twin pair cannot be in the per-source brute set")
+
+    val st = TextOps.q19StagesFromDocs(
+      spark, buf.toSeq.toDF("source", "doc_id", "text"), 0.3,
+      hotGramDf = TextOps.HotGramDf, hotGramBlock = TextOps.HotGramBlock)
+    val local = rows(st.result)
+    val dist = rows(st.distResult())
+    assert(local == want,
+      s"local plan: ${local.size} vs brute ${want.size}; diff=${(local diff want) ++ (want diff local)}")
+    assert(dist == want,
+      s"distributed plan: ${dist.size} vs brute ${want.size}; diff=${(dist diff want) ++ (want diff dist)}")
+    TextOps.releaseQ19Cache()
+  }
 }
