@@ -85,9 +85,21 @@ object LangOps {
       * handler also drops the context reference — otherwise hookedCtx
       * would pin the STOPPED context (and its object graph) until the
       * next registerSql in the JVM.
+      *
+      * BELT-AND-BRACES (ADVICE r7): the listener path alone relied on
+      * SparkListenerApplicationEnd draining before a successor context's
+      * first detect_lang call — a context killed with an undrained bus
+      * (abnormal stop) would leave stale pools that a reused bc.id in
+      * the next context ALIASES, handing out detectors built from the
+      * old model. So a context CHANGE observed here (registerSql runs on
+      * the new context before any UDF call can — Spark allows one live
+      * context per JVM, so a different `sc` proves the old one is dead)
+      * also clears synchronously. Cleared-then-rebuilt is always safe:
+      * computeIfAbsent rebuilds a pool from the CURRENT broadcast.
       */
     def installCleanup(sc: org.apache.spark.SparkContext): Unit = synchronized {
       if (hookedCtx ne sc) {
+        if (hookedCtx != null) pools.clear() // predecessor died; its ids may alias
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
@@ -103,7 +115,23 @@ object LangOps {
         val model = bc.value
         ThreadLocal.withInitial(() => new Detector(model, DetectorConfig.default))
       }).get()
+    def ids: Set[Long] = {
+      val it = pools.keys()
+      val b = Set.newBuilder[Long]
+      while (it.hasMoreElements) b += it.nextElement()
+      b.result()
+    }
+    def injectStale(id: Long, d: Detector): Unit =
+      pools.put(id, ThreadLocal.withInitial(() => d))
   }
+
+  /** Test-only observability for the cross-context aliasing gate
+    * (LangOpsSpec): the live pool's broadcast ids, and a poisoned-entry
+    * injector standing in for "a pool the dead context never cleared".
+    */
+  private[graft] def detectorPoolIds: Set[Long] = DetectorPools.ids
+  private[graft] def injectStalePool(id: Long, d: Detector): Unit =
+    DetectorPools.injectStale(id, d)
 
   /** Register `detect_lang(text)` for SQL access, returning
     * STRUCT<lang STRING, confidence DOUBLE> (SURVEY.md §2.2 UDF surface).

@@ -268,6 +268,17 @@ object Relational {
     * oracle-equal (PercentileEdgeSpec runs the edge table through both),
     * and the escalated plan is asserted shuffle-shaped in PlanSpec (range
     * exchange, no per-(g, tag) hash exchange).
+    *
+    * CONSTRUCTION IS EAGER ON THE ESCALATED PATH (ADVICE r7): unlike
+    * every other constructor in the registry, building this DataFrame
+    * above the threshold runs two Spark jobs up front (range-boundary
+    * sampling and the subtotal collect — the driver prefix must exist
+    * before the result plan can reference its broadcast), so a failure
+    * over a bad input surfaces at BUILD time, not action time, and
+    * plan-only tooling (explain, dry-run registries) pays those two jobs.
+    * Deferring them into the closure would push the collect onto an
+    * executor; keeping them eager is the correct trade — documented so
+    * callers don't assume lazy construction.
     */
   def q32Percentiles(spark: SparkSession, sfDir: String): DataFrame =
     q32Stages(spark, sfDir).result
@@ -288,9 +299,16 @@ object Relational {
   private[graft] final val Q32EscalateBytes: Long = 4L << 20
 
   /** q32 with the escalation decision exposed (and injectable) — see
-    * q32Percentiles. `ranged` is the persisted range-partitioned
-    * value-counts table when escalated (PlanSpec asserts its exchange
-    * shape), None on the default path.
+    * q32Percentiles. `ranged` is the UNPERSISTED range-partitioned
+    * value-counts plan when escalated (PlanSpec asserts its exchange
+    * shape), None on the default path. Because nothing pins it,
+    * re-executing `ranged` re-samples its range boundaries: the pid ↔
+    * value-slice layout a test observes is a fresh instance, not the
+    * one the run's broadcast offsets were computed over (those were
+    * pinned by the shared ShuffleDependency inside the call — see the
+    * rrdd block). Test authors asserting partitioning properties get
+    * the SHAPE guarantees (range exchange, contiguous slices), never
+    * the run's concrete boundary values.
     */
   private[graft] final case class PercentileStages(
       result: DataFrame, escalated: Boolean, ranged: Option[DataFrame])

@@ -100,10 +100,36 @@ class JaccardSpec extends AnyFunSuite {
     // listener bus before the count is read.
     val dfAggRuns = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var sentinelSeen = false
+    // Structural fingerprint, not a rendered-string match (ADVICE r7:
+    // `toString.contains("keys=[gram")` was brittle against plan-rendering
+    // changes and would mis-count if any other gram-keyed aggregate ever
+    // joined the plan): a query execution "ran the gram-df aggregate" iff
+    // its FINAL physical plan contains a FINAL-mode aggregate node keyed
+    // by an attribute named `gram` producing an attribute named `df` —
+    // the partial-agg twin names its buffer, not `df`, so each logical
+    // aggregate counts once. AQE wraps the real plan in leaf nodes
+    // (AdaptiveSparkPlanExec / QueryStageExec), so the walk unwraps them.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => p.children.flatMap(allNodes)
+      }
+      p +: inner
+    }
+    def hasGramDfAgg(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+      allNodes(qe.executedPlan).exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.exists(_.name == "gram") &&
+            a.resultExpressions.exists(_.name == "df")
+        case _ => false
+      }
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(fn: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
-        if (qe.executedPlan.toString.contains("keys=[gram")) dfAggRuns.incrementAndGet()
+        if (hasGramDfAgg(qe)) dfAggRuns.incrementAndGet()
         if (qe.analyzed.toString.contains("jaccard_sentinel")) sentinelSeen = true
       }
       override def onFailure(fn: String,
