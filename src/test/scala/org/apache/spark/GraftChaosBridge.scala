@@ -1,0 +1,14 @@
+package org.apache.spark
+
+/** Test-only bridge into the spark-private block-manager surface (the
+  * same package trick as sql.GraftColumnBridge): removes a persisted
+  * RDD's blocks cluster-wide WITHOUT unregistering the persist — the
+  * executor-loss shape. The storage level stays set, so later reads
+  * recompute and may RE-persist, unlike `RDD.unpersist`, which is
+  * terminal. BlockEvictionSpec drives both flavors against the
+  * engine's pinned intermediates.
+  */
+object GraftChaosBridge {
+  def removeRddBlocks(sc: SparkContext, rddId: Int): Unit =
+    sc.env.blockManager.master.removeRdd(rddId, blocking = false)
+}
