@@ -91,15 +91,19 @@ object LangOps {
       * first detect_lang call — a context killed with an undrained bus
       * (abnormal stop) would leave stale pools that a reused bc.id in
       * the next context ALIASES, handing out detectors built from the
-      * old model. So a context CHANGE observed here (registerSql runs on
-      * the new context before any UDF call can — Spark allows one live
-      * context per JVM, so a different `sc` proves the old one is dead)
-      * also clears synchronously. Cleared-then-rebuilt is always safe:
+      * old model. So hooking a NEW context (registerSql runs on the new
+      * context before any UDF call can — Spark allows one live context
+      * per JVM, so a different `sc` proves any predecessor is dead)
+      * also clears synchronously, unconditionally: if the listener
+      * already fired this is a no-op on an empty map, and a fresh JVM's
+      * map is empty anyway. Cleared-then-rebuilt is always safe:
       * computeIfAbsent rebuilds a pool from the CURRENT broadcast.
+      * Gate: CrossContextPoolSpec injects a poisoned stale pool and
+      * proves this clear is what keeps the successor context off it.
       */
     def installCleanup(sc: org.apache.spark.SparkContext): Unit = synchronized {
       if (hookedCtx ne sc) {
-        if (hookedCtx != null) pools.clear() // predecessor died; its ids may alias
+        pools.clear() // any predecessor's pools are dead; their ids may alias
         sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
@@ -121,17 +125,18 @@ object LangOps {
       while (it.hasMoreElements) b += it.nextElement()
       b.result()
     }
-    def injectStale(id: Long, d: Detector): Unit =
-      pools.put(id, ThreadLocal.withInitial(() => d))
+    def injectStale(id: Long, tl: ThreadLocal[Detector]): Unit =
+      pools.put(id, tl)
   }
 
   /** Test-only observability for the cross-context aliasing gate
-    * (LangOpsSpec): the live pool's broadcast ids, and a poisoned-entry
-    * injector standing in for "a pool the dead context never cleared".
+    * (CrossContextPoolSpec): the live pool's broadcast ids, and a
+    * poisoned-entry injector standing in for "a pool the dead context
+    * never cleared" (abnormal stop, listener bus undrained).
     */
   private[graft] def detectorPoolIds: Set[Long] = DetectorPools.ids
-  private[graft] def injectStalePool(id: Long, d: Detector): Unit =
-    DetectorPools.injectStale(id, d)
+  private[graft] def injectStalePool(id: Long, tl: ThreadLocal[Detector]): Unit =
+    DetectorPools.injectStale(id, tl)
 
   /** Register `detect_lang(text)` for SQL access, returning
     * STRUCT<lang STRING, confidence DOUBLE> (SURVEY.md §2.2 UDF surface).

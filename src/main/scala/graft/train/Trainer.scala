@@ -154,6 +154,26 @@ object Trainer {
         col("value").as("line"))
   }
 
+  /** Last trainer gram-count pin — released by the NEXT trainer call
+    * (the lazy result plan needs it alive after trainSparkFractions
+    * returns); same per-call-owned plain-RDD discipline as
+    * TextOps.lastQ19Cache, and for the same reasons (terminal
+    * unpersist, no cross-call CacheManager sharing).
+    */
+  private val lastTrainerCache =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
+
+  /** Eager release of the swapped-in gram-count pin (tests, dump-all
+    * settles); a sequential caller normally leaves it to the next
+    * trainer call's swap.
+    */
+  private[graft] def releaseTrainerCache(): Unit = {
+    val prev = lastTrainerCache.getAndSet(null)
+    if (prev != null) {
+      try prev.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   def trainSparkFractions(
       spark: SparkSession,
       corpus: DataFrame,
@@ -193,8 +213,26 @@ object Trainer {
       }
       .toDF("lang", "size", "ngram")
 
-    val counts = grams.groupBy($"lang", $"size", $"ngram").count()
-    counts.cache()
+    // The gram counts feed FIVE consumers (the broadcast-decision count()
+    // job below — eager, so never exchange-shared with the result — plus
+    // totals, uniAndWord, and both sides of the lower joins), so they are
+    // pinned. PLAIN per-call-owned RDD behind a LogicalRDD barrier, NOT a
+    // Dataset cache (the q19/q32 lesson, and the strand VerifyLoopSpec
+    // caught HERE: `counts.cache()` was keyed by canonicalized plan in
+    // the CacheManager with no owner to release it — every registry
+    // dump-all leaked one corpus-sized cache, and concurrent same-corpus
+    // trainer runs would share-then-strand it). Handoff registry below:
+    // the lazy result plan needs the pin alive after this returns, so
+    // the NEXT trainer call (or an explicit releaseTrainerCache) frees
+    // it — at most one trainer pin lives per JVM.
+    val countsRdd = grams.groupBy($"lang", $"size", $"ngram").count()
+      .as[(String, Int, String, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastTrainerCache.getAndSet(countsRdd)
+    if (prev != null && (prev ne countsRdd)) {
+      try prev.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val counts = spark.createDataset(countsRdd).toDF("lang", "size", "ngram", "count")
 
     // totals per (lang,size) for size 1 and 0 denominators
     val totals = counts

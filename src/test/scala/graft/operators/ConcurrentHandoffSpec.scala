@@ -179,4 +179,89 @@ class ConcurrentHandoffSpec extends AnyFunSuite {
     val leaked = newIdsSettled(before)
     assert(leaked.isEmpty, s"stranded q19 caches (RDD ids): $leaked")
   }
+
+  // ---- q17: ContextCleaner-bounded verify broadcast ---------------------
+
+  private def writeQ17Corpus(variant: Int): (String, Set[(Long, Long, Double)]) = {
+    import spark.implicits._
+    val rng = new graft.train.FixtureCorpus.Rng(0x17b0 + variant)
+    def word(): String =
+      (0 until 3 + rng.nextInt(6)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    def doc(nWords: Int): String = (0 until nWords).map(_ => word()).mkString(" ")
+    def mutate(base: String): String =
+      base.split(" ").map(w => if (rng.nextInt(20) == 0) word() else w).mkString(" ")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (0 until 20).foreach(_ => { buf += ((id, doc(1 + rng.nextInt(40)))); id += 1 })
+    (2 to 4).foreach { k =>
+      val base = doc(40 + rng.nextInt(30))
+      (0 until k).foreach(_ => { buf += ((id, mutate(base))); id += 1 })
+    }
+    val dir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+      s"target/q17conc-$variant-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .toAbsolutePath.toString
+    buf.toSeq.toDF("doc_id", "text").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val arr = buf.toSeq.map { case (i, t) => (i, TextOps.shingleHashes(t, TextOps.ShingleSize)) }
+    val want = (for {
+      i <- arr.indices.iterator
+      j <- (i + 1) until arr.length
+      jac = TextOps.exactJaccard(arr(i)._2, arr(j)._2)
+      if jac >= 0.7
+    } yield (arr(i)._1, arr(j)._1, math.round(jac * 10000.0) / 10000.0)).toSet
+    (dir, want)
+  }
+
+  /** q17's broadcast-verify path deliberately does NOT destroy its
+    * (pairs, shingle-map) broadcast — the returned plan is lazy, so the
+    * broadcast's lifetime is delegated to the ContextCleaner
+    * (TextOps q17 scaladoc). That prose becomes a gate here: under
+    * concurrent same-input and distinct-input calls the results stay
+    * exact, and once every result plan is dereferenced, a GC must
+    * actually reap EVERY broadcast the calls created — the bounded-
+    * lifetime claim a long-lived multi-tenant driver depends on (each
+    * leaked verify broadcast pins up to ~128 MB of executor memory).
+    */
+  test("concurrent q17 calls stay exact and their verify broadcasts die with their plans") {
+    val corpora = (0 until 3).map(writeQ17Corpus)
+    try {
+      val beforeBc = org.apache.spark.GraftChaosBridge
+        .liveBroadcastIds(spark.sparkContext)
+
+      // inner scope so no stack reference survives to pin a plan
+      def runAll(): Unit = {
+        val got = withPool(3) { implicit ec =>
+          val futs = (0 until 6).map { i =>
+            val (dir, want) = corpora(i % corpora.length)
+            Future {
+              val rows = TextOps.q17MinHashPairsImpl(spark, dir, 0.7, 4 << 20, 16L << 20)
+                .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+              (dir, want, rows)
+            }
+          }
+          Await.result(Future.sequence(futs), 5.minutes)
+        }
+        got.foreach { case (dir, want, rows) =>
+          assert(rows == want, s"concurrent q17 diverged on $dir")
+        }
+      }
+      runAll()
+
+      // every broadcast born in the window must die once unreferenced:
+      // poll with explicit GCs (the ContextCleaner triggers off weak
+      // refs; its daemon processes the queue within a beat of the GC)
+      var newBc = org.apache.spark.GraftChaosBridge
+        .liveBroadcastIds(spark.sparkContext) -- beforeBc
+      assert(newBc.nonEmpty, "q17 calls must have created verify broadcasts")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (newBc.nonEmpty && System.nanoTime() < deadline) {
+        System.gc()
+        Thread.sleep(250)
+        newBc = org.apache.spark.GraftChaosBridge
+          .liveBroadcastIds(spark.sparkContext) -- beforeBc
+      }
+      assert(newBc.isEmpty,
+        s"verify broadcasts outlived their dereferenced plans (broadcast ids): $newBc")
+    } finally corpora.foreach { case (dir, _) => graft.TinyInputs.delete(dir) }
+  }
 }

@@ -11,4 +11,15 @@ package org.apache.spark
 object GraftChaosBridge {
   def removeRddBlocks(sc: SparkContext, rddId: Int): Unit =
     sc.env.blockManager.master.removeRdd(rddId, blocking = false)
+
+  /** Broadcast ids with at least one live block on this (local-mode)
+    * block manager — the observable behind the q17 broadcast-lifetime
+    * gate: q17's verify broadcast is deliberately left to the
+    * ContextCleaner, so its id must vanish from this set once the
+    * result plan is unreachable and a GC has run.
+    */
+  def liveBroadcastIds(sc: SparkContext): Set[Long] =
+    sc.env.blockManager.getMatchingBlockIds(_.isBroadcast).collect {
+      case storage.BroadcastBlockId(id, _) => id
+    }.toSet
 }
