@@ -232,6 +232,21 @@ object BenchDecompose {
         noop(FilterPipeline.run(spark, pages, bc)) // warm
         println("=== timed run ===")
         noop(FilterPipeline.run(spark, pages, bc))
+      case "jobgap" =>
+        // Per-job scheduler round-trip on THIS host right now: 50
+        // consecutive 1-task jobs whose task compute is ~0. q30 is the
+        // registry's only ~20-driver-job chain, so its wall time is
+        // ≈ Σ(stage compute) + njobs × this gap — single-job queries
+        // (q33/q25) never expose it, which is why they can sit at their
+        // quiet-table rows while q30 drifts. Prints min/median/p90/max ms.
+        (1 to 10).foreach(_ => spark.range(1).count()) // warm scheduler + codegen
+        val gaps = (1 to 50).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(1).count()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+        println(f"DECOMP jobgap_ms min=${gaps.head}%.1f p50=${gaps(24)}%.1f " +
+          f"p90=${gaps(44)}%.1f max=${gaps.last}%.1f")
       case "ivf" =>
         // IVF assign-step scaling: flat O(k) scan per vector vs the
         // two-level codebook's O(√k·w). Deterministic synthetic

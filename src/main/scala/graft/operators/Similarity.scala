@@ -627,8 +627,14 @@ object Similarity {
     // Empty index → empty ANN result. Not a corner case at scale: a
     // partition-pruned or freshly-created embeddings table is 0 rows,
     // and k-means|| over zero rows has no seed to sample (it crashed
-    // here before this guard — EmptyInputSpec). One take(1) job.
-    if (emb.isEmpty)
+    // here before this guard — EmptyInputSpec). `emb` is a 1:1 map of
+    // the raw scan, so when the sizing count ran it already answers
+    // emptiness and the take(1) job is folded away; the job only runs
+    // on the pinned-k path, where the count was skipped. q30 is the
+    // registry's longest driver-job chain (~20 jobs/call) and each
+    // fold is one fewer scheduler round-trip per call (see
+    // BenchDecompose `jobgap`).
+    if (if (kCentroids0 > 0) emb.isEmpty else nRows == 0L)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rnk", "vec_id", "cos")
     val (kCentroids, nProbeSized) = ivfSizing(nRows, kCentroids0, nProbe, maxCodebook0)
