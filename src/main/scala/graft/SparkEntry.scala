@@ -118,12 +118,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // EXISTS / NOT EXISTS, not IN / NOT IN: the Spark side is a true
+    // semi/anti join, and NOT IN diverges from anti-join semantics the
+    // moment o_custkey carries a null (NOT IN returns NULL for every
+    // unmatched row; the fuzz gate runs this oracle over null-bearing keys)
     "q08_semi_anti" ->
       """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
-        | WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |UNION ALL
         |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
-        | WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q09_set_ops" ->
       """SELECT 'intersect' AS op, count(*) AS n FROM
         | (SELECT l_partkey AS k FROM lineitem INTERSECT SELECT p_partkey FROM part) t1
@@ -178,9 +182,12 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q33_strings" ->
       """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
-        | concat(p_brand, '-', p_type) AS label, length(p_name) AS name_len,
+        | p_brand || '-' || p_type AS label, length(p_name) AS name_len,
         | levenshtein(p_brand, p_type) AS lev
         |FROM part""".stripMargin,
+    // `||`, not concat(): DuckDB's concat SKIPS null arguments while
+    // Spark's concat null-propagates — || null-propagates in both
+    // (fuzz-gate find; identical on null-free clean data)
     "q34_dates" ->
       """SELECT date_trunc('month', o_orderdate) AS m,
         | extract(year FROM o_orderdate) AS y,
@@ -239,10 +246,17 @@ object SparkEntry {
         | SELECT doc_id, 4 * (i - 1) + j AS b,
         |  sum(CASE WHEN (d >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
         | FROM digits, generate_series(0, 3) u(j)
-        | GROUP BY doc_id, 4 * (i - 1) + j)
-        |SELECT doc_id,
-        | sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id""".stripMargin,
+        | GROUP BY doc_id, 4 * (i - 1) + j),
+        |sh AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        | FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+        |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id""".stripMargin,
+    // the LEFT JOIN + coalesce encodes the operator's convention for
+    // token-less documents (null or empty text, whitespace-only): every
+    // document HAS a simhash, and the empty simhash is 0 — empty docs
+    // dedup together. Identical on clean data (every doc has tokens).
     // brute-force within-source 5-gram Jaccard >= 0.3; the Spark side is
     // the prefix-filtered EXACT similarity join (same output set)
     "q19_ngram_jaccard" ->
@@ -271,7 +285,10 @@ object SparkEntry {
         | (length(text) - length(regexp_replace(text, '[\x20-\x3f]', '', 'g')))::BIGINT AS f1,
         | (length(text) - length(regexp_replace(text, '[\x40-\x5f]', '', 'g')))::BIGINT AS f2,
         | (length(text) - length(regexp_replace(text, '[\x60-\x7f]', '', 'g')))::BIGINT AS f3,
-        | 0::BIGINT AS f4, 0::BIGINT AS f5, 0::BIGINT AS f6, 0::BIGINT AS f7
+        | (CASE WHEN text IS NULL THEN NULL ELSE 0 END)::BIGINT AS f4,
+        | (CASE WHEN text IS NULL THEN NULL ELSE 0 END)::BIGINT AS f5,
+        | (CASE WHEN text IS NULL THEN NULL ELSE 0 END)::BIGINT AS f6,
+        | (CASE WHEN text IS NULL THEN NULL ELSE 0 END)::BIGINT AS f7
         |FROM documents""".stripMargin,
     // VARCHAR slicing == binary slicing for the ASCII synthetic payloads
     // (the Spark side slices the real BINARY column)
@@ -281,14 +298,24 @@ object SparkEntry {
         | md5(substr(text, (i * strlen(text) // 4) + 1, 16)) AS frame_md5
         |FROM documents, generate_series(0, 3) t(i)
         |WHERE (i * strlen(text) // 4) + 16 <= strlen(text)""".stripMargin,
+    // The CASE encodes the engine's corrupt-embedding convention
+    // EXPLICITLY (CosineSim scaladoc): a zero-norm or non-finite vector
+    // yields cosine 0.0, never NaN — in DuckDB the same pair reads NULL
+    // (0/0 division → NULL) or NaN, and NaN would otherwise WIN a
+    // descending top-k in both engines. Exercised by the fuzz gate's
+    // planted zero/NaN/Inf vectors; a no-op on clean embeddings.
     "q20_ann_brute_force" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
-        |scored AS (
+        |raw AS (
         | SELECT query_id, vec_id,
         |  list_dot_product(qv, v) /
-        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c0
         | FROM emb CROSS JOIN q WHERE vec_id <> query_id),
+        |scored AS (
+        | SELECT query_id, vec_id,
+        |  CASE WHEN c0 IS NULL OR isnan(c0) THEN 0.0 ELSE c0 END AS cos
+        | FROM raw),
         |ranked AS (SELECT query_id, vec_id, cos,
         | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         | FROM scored)
@@ -322,15 +349,19 @@ object SparkEntry {
         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |ex AS (SELECT query_id, list(vec_id) AS topk
         |       FROM read_parquet('__OUT_DIR__/q20_ann_brute_force/*.parquet')
-        |       GROUP BY query_id)
-        |SELECT a.vec_id, a.ann_vec_id,
-        | round(list_dot_product(e1.v, e2.v) /
-        |  (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))), 6) AS cos,
-        | list_contains(ex.topk, a.ann_vec_id) AS ann_in_exact_top5
-        |FROM ann a
-        |JOIN emb e1 ON e1.vec_id = a.vec_id
-        |JOIN emb e2 ON e2.vec_id = a.ann_vec_id
-        |LEFT JOIN ex ON ex.query_id = a.vec_id""".stripMargin,
+        |       GROUP BY query_id),
+        |raw AS (
+        | SELECT a.vec_id, a.ann_vec_id,
+        |  list_dot_product(e1.v, e2.v) /
+        |   (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))) AS c0
+        | FROM ann a
+        | JOIN emb e1 ON e1.vec_id = a.vec_id
+        | JOIN emb e2 ON e2.vec_id = a.ann_vec_id)
+        |SELECT r.vec_id, r.ann_vec_id,
+        | round(CASE WHEN c0 IS NULL OR isnan(c0) THEN 0.0 ELSE c0 END, 6) AS cos,
+        | list_contains(ex.topk, r.ann_vec_id) AS ann_in_exact_top5
+        |FROM raw r
+        |LEFT JOIN ex ON ex.query_id = r.vec_id""".stripMargin,
     "q30_ivf_ann" ->
       """WITH ann AS (SELECT * FROM read_parquet('__OUT_DIR__/q30_ivf_ann/*.parquet')),
         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -338,12 +369,13 @@ object SparkEntry {
         |       FROM read_parquet('__OUT_DIR__/q20_ann_brute_force/*.parquet')
         |       GROUP BY query_id)
         |SELECT a.query_id, a.rnk, a.vec_id,
-        | round(list_dot_product(q.v, e.v) /
-        |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos,
+        | round(CASE WHEN c.c0 IS NULL OR isnan(c.c0) THEN 0.0 ELSE c.c0 END, 6) AS cos,
         | list_contains(ex.topk, a.vec_id) AS in_exact_top5
         |FROM ann a
         |JOIN emb q ON q.vec_id = a.query_id
         |JOIN emb e ON e.vec_id = a.vec_id
+        |CROSS JOIN LATERAL (SELECT list_dot_product(q.v, e.v) /
+        |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS c0) c
         |JOIN ex ON ex.query_id = a.query_id""".stripMargin,
     "q23_lang_profile" ->
       """SELECT lang_detected, count(*) AS n_docs,

@@ -47,6 +47,7 @@ object Tokenizer {
     */
   def words(text: String): ArrayBuffer[Word] = {
     val out = ArrayBuffer.empty[Word]
+    if (text == null) return out // null ≡ empty (detector convention; fuzz-gate find)
     val buf = new ArrayBuffer[Int](16)
     var i = 0
     val n = text.length

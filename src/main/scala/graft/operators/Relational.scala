@@ -328,6 +328,12 @@ object Relational {
       col("l_returnflag").as("g"),
       expr("stack(2, 'price', cast(l_extendedprice as double), " +
         "'qty', cast(l_quantity as double)) as (tag, v)"))
+      // quantile_cont skips NULL measures (both engines); dropping them
+      // here keeps the typed (String,String,Double,Long) bracketing rows
+      // primitive. Groups they belonged to are preserved by the
+      // group-universe left join in finalAgg (an all-null group must
+      // still emit a row with NULL percentiles — fuzz-gate find).
+      .where(col("v").isNotNull)
     // fixed-N repartition BELOW the value-counts agg: the sf0.1 parquet has
     // 3 splits, so without it the partial agg hashes 1.2 M stacked rows
     // (near-unique prices — the partial barely compresses) inside 3 scan
@@ -407,20 +413,36 @@ object Relational {
       val fr = max(when(isTag, pos - floor(pos))) // frac depends only on n: constant per (group, tag)
       (loVal + (hiVal - loVal) * fr).as(name)
     }
-    def finalAgg(bracketed: DataFrame): DataFrame = bracketed
-      .groupBy(col("g").as("l_returnflag"))
-      .agg(
-        qAgg("price", 0.5, "p50_raw"),
-        qAgg("price", 0.95, "p95_raw"),
-        qAgg("qty", 0.25, "qty_p25_raw"))
-      .select(
-        col("l_returnflag"),
-        round(col("p50_raw"), 2).as("p50"),
-        round(col("p95_raw"), 2).as("p95"),
-        round(col("qty_p25_raw"), 2).as("qty_p25"))
-      .orderBy(col("l_returnflag"))
+    // group universe from the RAW scan: a group whose measures are all
+    // NULL has no bracketing rows but still owns an output row (with
+    // NULL percentiles — exactly what GROUP BY + quantile_cont yields).
+    // Column-pruned single-column distinct, broadcast onto ≤ |groups|
+    // aggregate rows: negligible at any scale.
+    val universe = li.select(col("l_returnflag").as("g")).distinct()
+    def finalAgg(bracketed: DataFrame): DataFrame = {
+      val agg = bracketed
+        .groupBy(col("g"))
+        .agg(
+          qAgg("price", 0.5, "p50_raw"),
+          qAgg("price", 0.95, "p95_raw"),
+          qAgg("qty", 0.25, "qty_p25_raw"))
+      // <=> join: NULL is itself a group key (GROUP BY keeps it; an
+      // equi-join would silently drop the null-flag group's percentiles)
+      universe.join(broadcast(agg), universe("g") <=> agg("g"), "left")
+        .select(
+          universe("g").as("l_returnflag"),
+          round(col("p50_raw"), 2).as("p50"),
+          round(col("p95_raw"), 2).as("p95"),
+          round(col("qty_p25_raw"), 2).as("qty_p25"))
+        .orderBy(col("l_returnflag"))
+    }
 
-    val joined = vc.join(broadcast(totals), Seq("g", "tag"))
+    // <=> on g: NULL is itself a group (an equi-join would silently drop
+    // every null-flag row here — fuzz-gate find, same class as finalAgg's)
+    val joined = vc.join(
+        broadcast(totals.withColumnRenamed("g", "tg").withColumnRenamed("tag", "ttag")),
+        col("g") <=> col("tg") && col("tag") === col("ttag"))
+      .drop("tg", "ttag")
     val nParts = spark.sessionState.conf.numShufflePartitions
     // escalation decision from driver-side file statistics only (no job):
     // source bytes upper-bound the distinct values any one group can hold
@@ -465,7 +487,11 @@ object Relational {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vcDs = spark.createDataset(vcRdd).toDF("g", "tag", "v", "cnt")
       val totalsEsc = vcDs.groupBy(col("g"), col("tag")).agg(sum(col("cnt")).as("n"))
-      val ranged = vcDs.join(broadcast(totalsEsc), Seq("g", "tag"))
+      // same <=> rationale as `joined` above (null group preservation)
+      val ranged = vcDs.join(
+          broadcast(totalsEsc.withColumnRenamed("g", "tg").withColumnRenamed("tag", "ttag")),
+          col("g") <=> col("tg") && col("tag") === col("ttag"))
+        .drop("tg", "ttag")
         .repartitionByRange(nParts, col("g"), col("tag"), col("v"))
         .sortWithinPartitions(col("g"), col("tag"), col("v"))
         .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))

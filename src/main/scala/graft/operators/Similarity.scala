@@ -128,12 +128,17 @@ object Similarity {
     // probes in each; `home` rows are the bucket's members, probe rows only
     // query it. Bucket key packs (table, signature) into one Long.
     val probes = emb.flatMap { case (id, vf) =>
-      val v = vf.map(_.toDouble)
-      (0 until NTables).iterator.flatMap { t =>
-        val sig = lshSignature(vf, planes, t)
-        val base = t.toLong << 32
-        Iterator.single((base | sig, id, v, true)) ++
-          (0 until planes).iterator.map(b => (base | (sig ^ (1L << b)), id, v, false))
+      // a NULL embedding can be neither indexed nor used as a probe —
+      // skip the row (fuzz-gate find: crawl-scale tables carry nulls)
+      if (vf == null) Iterator.empty
+      else {
+        val v = vf.map(_.toDouble)
+        (0 until NTables).iterator.flatMap { t =>
+          val sig = lshSignature(vf, planes, t)
+          val base = t.toLong << 32
+          Iterator.single((base | sig, id, v, true)) ++
+            (0 until planes).iterator.map(b => (base | (sig ^ (1L << b)), id, v, false))
+        }
       }
     }
 
@@ -164,7 +169,10 @@ object Similarity {
               if (hid != id) {
                 var dot = 0.0
                 var d = 0
-                while (d < v.length) { dot += v(d) * hv(d); d += 1 }
+                // min-length overlap: a ragged (wrong-dim) vector is
+                // corrupt input, not an index crash (fuzz-gate find)
+                val dn = math.min(v.length, hv.length)
+                while (d < dn) { dot += v(d) * hv(d); d += 1 }
                 val cos = dot / (qNorm * hn)
                 // corrupt vector (zero-norm/NaN) → cos NaN → both
                 // comparisons false → self-excluded, matching CosineSim's
@@ -216,7 +224,10 @@ object Similarity {
     @inline private def dist2(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0
       var i = 0
-      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      // min-length overlap: a ragged (wrong-dim) vector is corrupt
+      // input, not an index crash (fuzz-gate find)
+      val n = math.min(a.length, b.length)
+      while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
       d
     }
 
@@ -405,7 +416,8 @@ object Similarity {
           val c = book.fine(book.nearestFine(v))
           var d = 0.0
           var i = 0
-          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          val n = math.min(v.length, c.length) // ragged-safe
+          while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
           val key =
             if (d <= 0.0) 0.0
             else math.pow(uniform(id, round), 1.0 / d)
@@ -460,7 +472,8 @@ object Similarity {
             val v = centers(j)
             var d = 0.0
             var x = 0
-            while (x < v.length) { val t = v(x) - c(x); d += t * t; x += 1 }
+            val xn = math.min(v.length, c.length) // ragged-safe
+            while (x < xn) { val t = v(x) - c(x); d += t * t; x += 1 }
             if (d < minD2(j)) minD2(j) = d
             j += 1
           }
@@ -595,6 +608,9 @@ object Similarity {
     // the same vectors — cosine is scale-invariant, so normalization
     // does not change it.
     val emb = Tables.embeddings(spark, sfDir)
+      // NULL embeddings can be neither indexed nor queried; the filter
+      // also keeps the sizing count below 1:1 with this map (fuzz-gate)
+      .where($"embedding".isNotNull)
       .select($"vec_id", $"embedding".cast("array<double>").as("v0"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
@@ -623,7 +639,8 @@ object Similarity {
     // when the caller pins k.
     val nRows =
       if (kCentroids0 > 0) 0L
-      else Tables.embeddings(spark, sfDir).count()
+      else Tables.embeddings(spark, sfDir)
+        .where(col("embedding").isNotNull).count()
     // Empty index → empty ANN result. Not a corner case at scale: a
     // partition-pruned or freshly-created embeddings table is 0 rows,
     // and k-means|| over zero rows has no seed to sample (it crashed
@@ -672,7 +689,8 @@ object Similarity {
         .reduceGroups { (a, b) =>
           val s = a._2.clone()
           var i = 0
-          while (i < s.length) { s(i) += b._2(i); i += 1 }
+          val n = math.min(s.length, b._2.length) // ragged-safe
+          while (i < n) { s(i) += b._2(i); i += 1 }
           (a._1, s, a._3 + b._3)
         }
         .map { case (cid, (_, s, n)) => (cid, s.map(_ / n)) }
@@ -707,7 +725,8 @@ object Similarity {
           var d = 0.0
           val c = book.fine(f)
           var i = 0
-          while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+          val n = math.min(v.length, c.length) // ragged-safe
+          while (i < n) { val x = v(i) - c(i); d += x * x; i += 1 }
           (d, f)
         }.sortBy(identity).take(nProbeEff)
         byDist.iterator.map { case (_, cid) => (id, cid, v) }
@@ -761,12 +780,17 @@ object Similarity {
     val planes = planesFor(emb.count())
 
     val probes = emb.flatMap { case (id, vf) =>
-      val v = vf.map(_.toDouble)
-      (0 until NTables).iterator.flatMap { t =>
-        val sig = lshSignature(vf, planes, t)
-        val base = t.toLong << 32
-        Iterator.single((base | sig, id, v, true)) ++
-          (0 until planes).iterator.map(b => (base | (sig ^ (1L << b)), id, v, false))
+      // a NULL embedding can be neither indexed nor used as a probe —
+      // skip the row (fuzz-gate find: crawl-scale tables carry nulls)
+      if (vf == null) Iterator.empty
+      else {
+        val v = vf.map(_.toDouble)
+        (0 until NTables).iterator.flatMap { t =>
+          val sig = lshSignature(vf, planes, t)
+          val base = t.toLong << 32
+          Iterator.single((base | sig, id, v, true)) ++
+            (0 until planes).iterator.map(b => (base | (sig ^ (1L << b)), id, v, false))
+        }
       }
     }
 
@@ -793,7 +817,8 @@ object Similarity {
               else {
                 var dot = 0.0
                 var d = 0
-                while (d < v.length) { dot += v(d) * hv(d); d += 1 }
+                val dn = math.min(v.length, hv.length) // ragged-safe overlap
+                while (d < dn) { dot += v(d) * hv(d); d += 1 }
                 val cos = dot / (qNorm * hn)
                 // corrupt vector → cos NaN → `>=` false → never pairs
                 // (CosineSim's corrupt-embedding convention)
@@ -854,12 +879,21 @@ object Similarity {
           // >> 5) as the "feature vector"; real pipelines swap in an
           // image/audio decoder. Counts stay integer and FLAT (f0..f7
           // scalar columns) so the driver's row hash — and the DuckDB
-          // oracle — can check them exactly.
-          val hist = new Array[Long](8)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) >>> 5) += 1; i += 1 }
-          (id, bytes.length.toLong,
-            hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+          // oracle — can check them exactly. A NULL payload has no
+          // features at all: every column NULL (fuzz-gate find; the
+          // oracle encodes the same convention).
+          if (bytes == null)
+            (id, None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long], None: Option[Long])
+          else {
+            val hist = new Array[Long](8)
+            var i = 0
+            while (i < bytes.length) { hist((bytes(i) & 0xff) >>> 5) += 1; i += 1 }
+            (id, Some(bytes.length.toLong),
+              Some(hist(0)), Some(hist(1)), Some(hist(2)), Some(hist(3)),
+              Some(hist(4)), Some(hist(5)), Some(hist(6)), Some(hist(7)))
+          }
         }
       }
       .toDF("doc_id", "payload_bytes", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
