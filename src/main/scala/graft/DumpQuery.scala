@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev helper: dump ONE SparkEntry query at any sf dir for ad-hoc oracle
-  * comparison (Verify dumps all 37; this avoids the full sweep when
+  * comparison (Verify dumps all 38; this avoids the full sweep when
   * cross-checking a single operator at a larger scale factor).
   * Usage: runMain graft.DumpQuery <sfDir> <outDir> <queryName>
   */

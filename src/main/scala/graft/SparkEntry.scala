@@ -54,6 +54,7 @@ object SparkEntry {
     "q26_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.q26LshAnn(s, d)),
     "q30_ivf_ann" -> ((s: SparkSession, d: String) => Similarity.q30IvfAnn(s, d)),
     "q27_multimodal_features" -> (Similarity.q27MultimodalFeatures _),
+    "q38_embedding_health" -> (Similarity.q38EmbeddingHealth _),
     "q37_frame_sample" -> ((s: SparkSession, d: String) => Similarity.q37FrameSample(s, d)),
     // the full quality-filter pipeline over a generated pages corpus
     "q28_pipeline_filter" -> ((s: SparkSession, _: String) =>
@@ -290,6 +291,23 @@ object SparkEntry {
         | (CASE WHEN text IS NULL THEN NULL ELSE 0 END)::BIGINT AS f6,
         | (CASE WHEN text IS NULL THEN NULL ELSE 0 END)::BIGINT AS f7
         |FROM documents""".stripMargin,
+    // embedding-corpus health: corrupt-vector counts (see
+    // Similarity.q38EmbeddingHealth — the observable that keeps the
+    // corrupt-cosine 0.0 convention from silently masking a failed
+    // embedder). coalesce(,0)=0 matches Spark's fold identity on empty
+    // lists; a sum of squares is 0 iff all elements are ±0 in any
+    // float width, so the engines' accumulator widths cannot disagree.
+    "q38_embedding_health" ->
+      """SELECT count(*) AS n_vecs,
+        | count(*) FILTER (embedding IS NULL) AS n_null,
+        | count(*) FILTER (
+        |   len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0) AS n_nonfinite,
+        | count(*) FILTER (embedding IS NOT NULL AND coalesce(
+        |   list_aggregate(list_transform(embedding, x -> x * x), 'sum'), 0.0) = 0.0
+        |   AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0) AS n_zero_norm,
+        | min(len(embedding))::BIGINT AS min_dim,
+        | max(len(embedding))::BIGINT AS max_dim
+        |FROM embeddings""".stripMargin,
     // VARCHAR slicing == binary slicing for the ASCII synthetic payloads
     // (the Spark side slices the real BINARY column)
     "q37_frame_sample" ->

@@ -752,6 +752,38 @@ object Similarity {
         array_contains(col("topk"), ann("vec_id")).as("in_exact_top5"))
   }
 
+  /** Embedding-corpus health report (round-8; closes the r7 advice that
+    * the corrupt-cosine NaN→0.0 convention silently masks corruption):
+    * one aggregate row counting the corrupt-vector classes every ANN
+    * operator here neutralizes — NULL rows (skipped by q26/q30
+    * ingestion), non-finite elements and zero-norm vectors (cosine 0.0
+    * by CosineSim's convention, zero-vector normalization pre-Lloyd) —
+    * plus the dim range (ragged = wrong-dim corruption). A failed
+    * embedder at crawl scale shows up HERE as a count, instead of as
+    * silently zeroed similarities. One column-pruned scan, map-side
+    * partial aggregation to a single row — negligible at any scale.
+    *
+    * The zero-norm predicate is precision-robust by construction: a sum
+    * of squares is 0 iff every element is ±0, in float and double alike,
+    * so Spark's and DuckDB's different accumulator widths cannot
+    * disagree (the oracle coalesces DuckDB's empty-list sum NULL to 0.0
+    * to match Spark's fold identity).
+    */
+  def q38EmbeddingHealth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val nonFinite = exists($"embedding",
+      x => isnan(x) || x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    val norm2 = aggregate($"embedding", lit(0.0d), (acc, x) => acc + x * x)
+    e.agg(
+      count(lit(1)).as("n_vecs"),
+      count(when($"embedding".isNull, 1)).as("n_null"),
+      count(when(nonFinite, 1)).as("n_nonfinite"),
+      count(when(norm2 === 0.0d, 1)).as("n_zero_norm"),
+      min(size($"embedding")).cast("long").as("min_dim"),
+      max(size($"embedding")).cast("long").as("max_dim"))
+  }
+
   /** Multimodal column plumbing (driver-spec addition): treat opaque binary
     * payloads with typed metadata, run a batched "decode + featurize" over
     * partitions. The real image/audio decode is STUBBED with a

@@ -228,12 +228,41 @@ object TextOps {
   def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
     q17MinHashPairsImpl(spark, sfDir, threshold, 4 << 20, 16L << 20)
 
-  /** q17 with injectable probe caps — MinHashSpec forces the distributed
-    * fallback (caps = 0) to keep it provably equal to the broadcast path.
+  /** q17 with injectable probe caps — MinHashSpec forces BOTH distributed
+    * fallbacks (caps = 0) to keep each provably equal to the broadcast
+    * path and to brute force.
+    *
+    * `escalateViaPpjoin` picks the beyond-cap fallback. The round-8
+    * scale probe measured the trade on two 100×-sf0.1-shaped corpora
+    * (ROADMAP round 8), and NEITHER design dominates:
+    *
+    *  - pair-melt verify (default): shuffle ≈ 2·|banding candidates|·
+    *    |shingle set|. Its candidate set is the banding's own (b=32,
+    *    r=4 ⇒ S-curve midpoint J ≈ 0.42). On a TEMPLATE-HEAVY corpus
+    *    (10% of 2.4M docs sharing 8 boilerplate tails, pairwise
+    *    J ≈ 0.13 — far below threshold) collisions at 32·J⁴ ≈ 5e-3
+    *    still banded ~30M spurious candidates → ~200 GB of array
+    *    shuffle to verify-and-discard. Quadratic in template-family
+    *    size: that shape needs the ppjoin.
+    *  - exact-ppjoin escalation: immune to templates by construction
+    *    (boilerplate grams are HOT; prefixes take the df-ascending,
+    *    i.e. rare, end — template families generate no candidates).
+    *    But on a fat-Zipf-head SHORT-DOC corpus (the driver's own
+    *    ~45-word document shape), random pairs share enough mid-df
+    *    grams that the prefix co-occurrence itself floods: measured
+    *    405M raw prefix pairs → 354M distinct candidates at 150k docs
+    *    vs banding's 21M — ~17× MORE array-verify bytes than the melt.
+    *
+    * Both are exact given their candidate sets; the choice is a bytes
+    * question whose answer is corpus-dependent, so it is a parameter
+    * (default: melt — the operator's own banding semantics, and the
+    * cheaper shape on the driver-like corpus), not a guess hidden in
+    * the plan.
     */
   private[graft] def q17MinHashPairsImpl(
       spark: SparkSession, sfDir: String, threshold: Double,
-      candCap: Int, shingleLongsCap: Long): DataFrame = {
+      candCap: Int, shingleLongsCap: Long,
+      escalateViaPpjoin: Boolean = false): DataFrame = {
     import spark.implicits._
     // fixed-N repartition: the one-file parquet split would otherwise cap
     // the signature pass's parallelism — and an N-less repartition(col)
@@ -394,40 +423,55 @@ object TextOps {
         }
       }
 
-    // Distributed fallback past the probe caps (duplicate-heavy crawl):
-    // melt each pair into its two (doc_id → pair) sides, map-side-join
-    // the doc-unique shingle table, ONE exchange regroups by pair key.
-    // Correct at any scale; the banding subtree re-executes under the
-    // lazy reuse, trading time for bounded driver memory.
+    // Beyond-cap fallback — see the escalateViaPpjoin scaladoc above for
+    // the measured corpus-dependent trade between the two designs.
     bcastPlan.getOrElse {
-      val candDf =
-        if (pairsArr != null) spark.createDataset(pairsArr.toSeq).toDF("doc_a", "doc_b")
-        else candidates.distinct()
-      val candIds = candDf
-        .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
-      val candShingles = docs.join(candIds, "doc_id").as[(Long, String)]
-        .map { case (id, text) => (id, shingleHashes(text, ShingleSize)) }
-        .toDF("doc_id", "shingles")
-      val sides = candDf.select(
-        $"doc_a", $"doc_b", explode(array($"doc_a", $"doc_b")).as("doc_id"))
-      candShingles.join(sides, "doc_id")
-        .select($"doc_a", $"doc_b", $"doc_id", $"shingles")
-        .as[(Long, Long, Long, Array[Long])]
-        .groupByKey { case (a, b, _, _) => (a, b) }
-        .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Array[Long])]) =>
-          var shA: Array[Long] = null
-          var shB: Array[Long] = null
-          it.foreach { case (_, _, id, sh) =>
-            if (id == key._1) shA = sh else if (id == key._2) shB = sh
+      if (escalateViaPpjoin)
+        // exact prefix-filtered join (q19's engine, constant group):
+        // the template-heavy-corpus shape
+        q19StagesFromDocs(
+          spark,
+          Tables.documents(spark, sfDir)
+            .select(lit("_all").as("source"), $"doc_id", $"text"),
+          threshold, HotGramDf, HotGramBlock).result
+      else {
+        // pair-melt verify of the banding candidates: melt each pair
+        // into its two (doc_id → pair) sides, map-side-join the
+        // doc-unique shingle table, ONE exchange regroups by pair key.
+        // Exact for the banding candidate set at any scale; the banding
+        // subtree re-executes under the lazy reuse, trading time for
+        // bounded driver memory.
+        val candDf =
+          if (pairsArr != null) spark.createDataset(pairsArr.toSeq).toDF("doc_a", "doc_b")
+          else candidates.distinct()
+        val candIds = candDf
+          .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+        val candShingles = docs.join(candIds, "doc_id").as[(Long, String)]
+          .map { case (id, text) =>
+            (id, if (text == null) Array.emptyLongArray else shingleHashes(text, ShingleSize))
           }
-          if (shA == null || shB == null) Iterator.empty
-          else {
-            val jac = exactJaccard(shA, shB)
-            if (jac >= threshold) Iterator((key._1, key._2, jac)) else Iterator.empty
+          .toDF("doc_id", "shingles")
+        val sides = candDf.select(
+          $"doc_a", $"doc_b", explode(array($"doc_a", $"doc_b")).as("doc_id"))
+        candShingles.join(sides, "doc_id")
+          .select($"doc_a", $"doc_b", $"doc_id", $"shingles")
+          .as[(Long, Long, Long, Array[Long])]
+          .groupByKey { case (a, b, _, _) => (a, b) }
+          .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Array[Long])]) =>
+            var shA: Array[Long] = null
+            var shB: Array[Long] = null
+            it.foreach { case (_, _, id, sh) =>
+              if (id == key._1) shA = sh else if (id == key._2) shB = sh
+            }
+            if (shA == null || shB == null) Iterator.empty
+            else {
+              val jac = exactJaccard(shA, shB)
+              if (jac >= threshold) Iterator((key._1, key._2, jac)) else Iterator.empty
+            }
           }
-        }
-        .toDF("doc_a", "doc_b", "jaccard")
-        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+          .toDF("doc_a", "doc_b", "jaccard")
+          .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+      }
     }
   }
 

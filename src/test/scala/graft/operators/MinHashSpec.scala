@@ -49,13 +49,20 @@ class MinHashSpec extends AnyFunSuite {
     }
   }
 
-  test("q17 distributed fallback (probe caps forced to 0) equals the broadcast path") {
-    // candCap = 0 forces pairsArr = null → the melt-join verify; the
-    // output must be identical to the fast path and the brute force
+  test("q17 distributed fallbacks (probe caps forced to 0) equal the broadcast path") {
+    // candCap = 0 forces pairsArr = null → the beyond-cap fallback; BOTH
+    // designs (melt verify and the exact-ppjoin escalation — see the
+    // escalateViaPpjoin scaladoc for the measured corpus-dependent
+    // trade) must be identical to the fast path and the brute force
     val sf = "/root/testdata/sf0.01"
-    val fallback = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 0, shingleLongsCap = 0L)
+    val want = brutePairs(sf, 0.7)
+    val melt = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 0, shingleLongsCap = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(fallback == brutePairs(sf, 0.7))
+    assert(melt == want, s"melt fallback diverged: ${(melt diff want) ++ (want diff melt)}")
+    val ppj = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 0, shingleLongsCap = 0L,
+        escalateViaPpjoin = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ppj == want, s"ppjoin fallback diverged: ${(ppj diff want) ++ (want diff ppj)}")
   }
 
   test("q17 shingle-fetch overflow (pair cap ok, shingle cap 0) falls back correctly") {
@@ -111,7 +118,12 @@ class MinHashSpec extends AnyFunSuite {
         s"broadcast path: q17 ${got.size} vs brute ${want.size}; diff=${(got diff want) ++ (want diff got)}")
       val fb = TextOps.q17MinHashPairsImpl(spark, dir, 0.7, candCap = 0, shingleLongsCap = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(fb == want, s"fallback path diverged: ${(fb diff want) ++ (want diff fb)}")
+      assert(fb == want, s"melt fallback diverged: ${(fb diff want) ++ (want diff fb)}")
+      val fbPpj = TextOps.q17MinHashPairsImpl(spark, dir, 0.7, candCap = 0, shingleLongsCap = 0L,
+          escalateViaPpjoin = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fbPpj == want,
+        s"ppjoin fallback diverged: ${(fbPpj diff want) ++ (want diff fbPpj)}")
     } finally graft.TinyInputs.delete(dir)
   }
 }
