@@ -242,6 +242,30 @@ object ScaleProbe {
           println(f"PROBE q17 pairs=$n wall=$dt%.2f s")
           auditPairs(spark, collected, dir, 0.7, sameSourceOnly = false)
           collected.unpersist()
+        case "q29" =>
+          // distributed trainer at scale: groupBy-count with map-side
+          // combine + prefix/suffix self-joins; exactness is gated at
+          // oracle scales (DuckDB integer-exact) and by TrainerSparkSpec
+          // (distributed ≡ local) — here the claim under test is the
+          // SHUFFLE SHAPE: gram-count rows are bounded by the distinct
+          // vocabulary, not the corpus, so wall and shuffle stay sane at
+          // 480× the oracle corpus. The Zipf forms are root+digits and
+          // the eng training filter drops digit-bearing words, which
+          // would shrink the vocabulary to the 20 roots — map digits to
+          // letters so the full 200k-form vocabulary (and its char-gram
+          // expansion) actually reaches the counting shuffle.
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{col, expr, translate}
+          val corpus = spark.read.parquet(s"$dir/documents.parquet")
+            .select(expr("'eng'").as("lang"),
+              translate(col("text"), "0123456789", "abcdefghij").as("line"))
+          val t0 = System.nanoTime()
+          val model = graft.train.Trainer.trainSparkFractions(spark, corpus)
+          val rows = model.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val sizes = model.groupBy($"size").count().collect()
+            .map(r => s"${r.get(0)}:${r.getLong(1)}").sorted.mkString(" ")
+          println(f"PROBE q29 modelRows=$rows wall=$dt%.1f s sizes=[$sizes]")
         case "stats" =>
           // growth-curve cardinalities for the two q17-fallback designs:
           // banding candidate pairs (the retired melt join's driver) vs
