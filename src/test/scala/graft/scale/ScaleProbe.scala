@@ -266,6 +266,63 @@ object ScaleProbe {
           val sizes = model.groupBy($"size").count().collect()
             .map(r => s"${r.get(0)}:${r.getLong(1)}").sorted.mkString(" ")
           println(f"PROBE q29 modelRows=$rows wall=$dt%.1f s sizes=[$sizes]")
+        case "genann" =>
+          // Planted-cluster embedding corpus (schema-exact twin of the
+          // testdata embeddings table): center per (id % 4096) plus 0.25
+          // noise — a crawl-like CLUSTERED geometry. The 500-vector
+          // fixture is near-uniform, which is adversarial for any space
+          // partitioning (see q30IvfAnn scaladoc); a real embedder
+          // clusters, and at probe scale the clustered shape is the one
+          // whose recall the IVF structure is supposed to deliver.
+          import spark.implicits._
+          val nVec = args(2).toLong
+          val dim = 64
+          val nClusters = 4096
+          spark.range(nVec).as[Long].mapPartitions { it =>
+            it.map { id =>
+              val c = id % nClusters
+              val v = new Array[Float](dim)
+              var i = 0
+              while (i < dim) {
+                val ctr = ((mix(c * 7919L + i) >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+                val nz = ((mix(id ^ ((i + 1013L) * 0x9e3779b97f4a7c15L)) >>> 11)
+                  .toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+                v(i) = (ctr + 0.25 * nz).toFloat
+                i += 1
+              }
+              (id, v, c.toInt)
+            }
+          }.toDF("vec_id", "embedding", "label")
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+          println(s"PROBE genann done n=$nVec dim=$dim clusters=$nClusters")
+        case "q30" =>
+          // IVF ANN at 2000× the 500-vector fixture: auto sizing picks
+          // k = ⌈√n⌉ centroids; the operator embeds its own exact
+          // brute-force audit column (in_exact_top5), so recall@5 reads
+          // straight off the output — wall INCLUDES the embedded exact
+          // ground-truth pass over all n vectors per query.
+          val t0 = System.nanoTime()
+          val rs = graft.operators.Similarity.q30IvfAnn(spark, dir).collect()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val hits = rs.count(_.getAs[Boolean]("in_exact_top5"))
+          val recall = if (rs.isEmpty) 0.0 else hits.toDouble / rs.length
+          println(f"PROBE q30 rows=${rs.length} recall@5=$recall%.3f wall=$dt%.1f s")
+        case "q26" =>
+          // LSH ANN at the same corpus: EVERY vector gets its bucketed
+          // top-1 (n output rows — aggregate, don't collect); the
+          // audited-recall column covers the ten q20 query vectors, the
+          // same DuckDB-auditable construction the oracle checks.
+          val t0 = System.nanoTime()
+          val out = graft.operators.Similarity.q26LshAnn(spark, dir)
+          val agg = out.agg(
+            count("*").as("rows"),
+            sum(when(col("ann_in_exact_top5"), 1L).otherwise(0L)).as("hits"),
+            count(col("ann_in_exact_top5")).as("audited")).collect()(0)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val audited = agg.getLong(2)
+          val rec = if (audited == 0) 0.0 else agg.getLong(1).toDouble / audited
+          println(f"PROBE q26 rows=${agg.getLong(0)} auditedRecall@5=$rec%.3f" +
+            f" audited=$audited wall=$dt%.1f s")
         case "stats" =>
           // growth-curve cardinalities for the two q17-fallback designs:
           // banding candidate pairs (the retired melt join's driver) vs
