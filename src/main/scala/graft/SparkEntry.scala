@@ -322,8 +322,12 @@ object SparkEntry {
     // (0/0 division → NULL) or NaN, and NaN would otherwise WIN a
     // descending top-k in both engines. Exercised by the fuzz gate's
     // planted zero/NaN/Inf vectors; a no-op on clean embeddings.
+    // NULL embeddings are excluded on both sides (WHERE embedding IS NOT
+    // NULL, mirroring the Spark filter and q26/q30): the CASE handles only
+    // the corrupt-but-present (zero-norm 0/0 → NULL, NaN element) rows.
     "q20_ann_brute_force" ->
-      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
         |raw AS (
         | SELECT query_id, vec_id,
@@ -362,9 +366,14 @@ object SparkEntry {
     // the exact-top-5 membership flag from the dumped q20 output — per-row
     // auditable recall evidence; the ≥0.9 recall@1 gate over the whole
     // corpus stays in SimilaritySpec (DuckDB cannot rank what LSH pruned).
+    // emb CTEs below filter NULL embeddings: the engine skips them at
+    // ingestion so no reported row references one, and DuckDB 1.0's
+    // list_dot_product(v, v) (same column on both sides) ERRORS on a
+    // vector batch containing NULL lists instead of yielding NULL.
     "q26_lsh_ann" ->
       """WITH ann AS (SELECT * FROM read_parquet('__OUT_DIR__/q26_lsh_ann/*.parquet')),
-        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL),
         |ex AS (SELECT query_id, list(vec_id) AS topk
         |       FROM read_parquet('__OUT_DIR__/q20_ann_brute_force/*.parquet')
         |       GROUP BY query_id),
@@ -382,7 +391,8 @@ object SparkEntry {
         |LEFT JOIN ex ON ex.query_id = r.vec_id""".stripMargin,
     "q30_ivf_ann" ->
       """WITH ann AS (SELECT * FROM read_parquet('__OUT_DIR__/q30_ivf_ann/*.parquet')),
-        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL),
         |ex AS (SELECT query_id, list(vec_id) AS topk
         |       FROM read_parquet('__OUT_DIR__/q20_ann_brute_force/*.parquet')
         |       GROUP BY query_id)

@@ -51,8 +51,9 @@ object LangOps {
     * Detector carries ~10 registry-sized scratch arrays (~20 KB at 346
     * languages), so the round-3 per-row `new Detector` inside the udf
     * closure cost ~10× the typed-map hot path in allocation alone. The
-    * pool is a JVM-WIDE map keyed by BROADCAST ID — the one name that is
-    * stable across every deserialized copy of the closure. Two prior
+    * pool is a JVM-WIDE map keyed by (applicationId, broadcast id) — both
+    * captured driver-side, both stable across every deserialized copy of
+    * the closure. Two prior
     * shapes each failed one way: a `@transient lazy` field in the closure
     * was rebuilt per TASK (ADVICE r4); a WeakHashMap keyed by Broadcast
     * OBJECT IDENTITY still missed per task, because every task
@@ -78,8 +79,18 @@ object LangOps {
     * thread's stale Detector be GC'd.
     */
   private object DetectorPools {
+    // Keyed by "applicationId#broadcastId", NOT bc.id alone (ADVICE r8):
+    // the synchronous clear on hooking a new context can be raced by a
+    // straggler task thread of an abnormally-stopped predecessor — a
+    // detect_lang task surviving sc.stop() computeIfAbsent-re-inserts its
+    // pool AFTER the clear, and with a bare bc.id key the successor's
+    // reused id would alias it. The applicationId is captured DRIVER-SIDE
+    // in the UDF closure (registerSql), so a dead context's re-insertion
+    // lands under its own appId and can never collide with a successor's
+    // key; such an orphan entry is inert and is removed by the next
+    // context hook's clear.
     private val pools =
-      new java.util.concurrent.ConcurrentHashMap[Long, ThreadLocal[Detector]]()
+      new java.util.concurrent.ConcurrentHashMap[String, ThreadLocal[Detector]]()
     @transient private var hookedCtx: org.apache.spark.SparkContext = _
     /** One pool-clearing listener per SparkContext (idempotent). The
       * handler also drops the context reference — otherwise hookedCtx
@@ -114,19 +125,20 @@ object LangOps {
         hookedCtx = sc
       }
     }
-    def get(bc: Broadcast[PackedModel]): Detector =
-      pools.computeIfAbsent(bc.id, _ => {
+    def key(appId: String, bcId: Long): String = appId + "#" + bcId
+    def get(appId: String, bc: Broadcast[PackedModel]): Detector =
+      pools.computeIfAbsent(key(appId, bc.id), _ => {
         val model = bc.value
         ThreadLocal.withInitial(() => new Detector(model, DetectorConfig.default))
       }).get()
-    def ids: Set[Long] = {
+    def ids: Set[String] = {
       val it = pools.keys()
-      val b = Set.newBuilder[Long]
+      val b = Set.newBuilder[String]
       while (it.hasMoreElements) b += it.nextElement()
       b.result()
     }
-    def injectStale(id: Long, tl: ThreadLocal[Detector]): Unit =
-      pools.put(id, tl)
+    def injectStale(k: String, tl: ThreadLocal[Detector]): Unit =
+      pools.put(k, tl)
   }
 
   /** Test-only observability for the cross-context aliasing gate
@@ -134,9 +146,11 @@ object LangOps {
     * poisoned-entry injector standing in for "a pool the dead context
     * never cleared" (abnormal stop, listener bus undrained).
     */
-  private[graft] def detectorPoolIds: Set[Long] = DetectorPools.ids
-  private[graft] def injectStalePool(id: Long, tl: ThreadLocal[Detector]): Unit =
-    DetectorPools.injectStale(id, tl)
+  private[graft] def detectorPoolIds: Set[String] = DetectorPools.ids
+  private[graft] def detectorPoolKey(appId: String, bcId: Long): String =
+    DetectorPools.key(appId, bcId)
+  private[graft] def injectStalePool(k: String, tl: ThreadLocal[Detector]): Unit =
+    DetectorPools.injectStale(k, tl)
 
   /** Register `detect_lang(text)` for SQL access, returning
     * STRUCT<lang STRING, confidence DOUBLE> (SURVEY.md §2.2 UDF surface).
@@ -145,10 +159,13 @@ object LangOps {
     */
   def registerSql(spark: SparkSession): Unit = {
     val bc = broadcastModel(spark)
+    // captured driver-side: every deserialized copy of this closure keys
+    // the pool under THIS application's id (see DetectorPools scaladoc)
+    val appId = spark.sparkContext.applicationId
     DetectorPools.installCleanup(spark.sparkContext)
     val f = org.apache.spark.sql.functions.udf { (text: String) =>
       if (text == null) ("und", 0.0)
-      else DetectorPools.get(bc).detectWithConfidence(text)
+      else DetectorPools.get(appId, bc).detectWithConfidence(text)
     }
     spark.udf.register("detect_lang", f)
   }

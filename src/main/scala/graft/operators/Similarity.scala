@@ -29,7 +29,13 @@ object Similarity {
     * query survive the final shuffle.
     */
   def q20AnnBruteForce(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    // NULL embeddings are dropped on BOTH sides (matching q26/q30): a NULL
+    // vector has no meaningful cosine to anything, and keeping it would put
+    // Spark's NULL cos (NULLS LAST under desc) at odds with the oracle's
+    // COALESCE-to-0.0 ranking on null-bearing corpora. The corrupt-but-
+    // present convention (zero-norm / non-finite → cos 0.0) is unchanged.
     val emb = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -772,6 +778,10 @@ object Similarity {
   def q38EmbeddingHealth(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)
+    // NULL-array semantics, deliberate: `exists`/`aggregate` over a NULL
+    // array yield NULL, and `count(when(NULL, 1))` skips the row — so a
+    // NULL embedding is counted ONLY by n_null, never double-counted
+    // into n_nonfinite/n_zero_norm (matches the DuckDB oracle).
     val nonFinite = exists($"embedding",
       x => isnan(x) || x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
     val norm2 = aggregate($"embedding", lit(0.0d), (acc, x) => acc + x * x)

@@ -225,61 +225,42 @@ object TextOps {
     * than it saved — the r4 regression); round-5 alternatives: verify
     * joins that exchange array-laden rows 5–6 s, this shape ~1 s.
     */
-  def q17MinHashPairs(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
-    q17MinHashPairsImpl(spark, sfDir, threshold, 4 << 20, 16L << 20)
-
-  /** q17 with injectable probe caps — MinHashSpec forces BOTH distributed
-    * fallbacks (caps = 0) to keep each provably equal to the broadcast
-    * path and to brute force.
-    *
-    * `escalateViaPpjoin` picks the beyond-cap fallback. The round-8
-    * scale probe measured the trade on two 100×-sf0.1-shaped corpora
-    * (ROADMAP round 8), and NEITHER design dominates:
-    *
-    *  - pair-melt verify (default): shuffle ≈ 2·|banding candidates|·
-    *    |shingle set|. Its candidate set is the banding's own (b=32,
-    *    r=4 ⇒ S-curve midpoint J ≈ 0.42). On a TEMPLATE-HEAVY corpus
-    *    (10% of 2.4M docs sharing 8 boilerplate tails, pairwise
-    *    J ≈ 0.13 — far below threshold) collisions at 32·J⁴ ≈ 5e-3
-    *    still banded ~30M spurious candidates → ~200 GB of array
-    *    shuffle to verify-and-discard. Quadratic in template-family
-    *    size: that shape needs the ppjoin.
-    *  - exact-ppjoin escalation: immune to templates by construction
-    *    (boilerplate grams are HOT; prefixes take the df-ascending,
-    *    i.e. rare, end — template families generate no candidates).
-    *    But on a fat-Zipf-head SHORT-DOC corpus (the driver's own
-    *    ~45-word document shape), random pairs share enough mid-df
-    *    grams that the prefix co-occurrence itself floods: measured
-    *    405M raw prefix pairs → 354M distinct candidates at 150k docs
-    *    vs banding's 21M — ~17× MORE array-verify bytes than the melt.
-    *
-    * Both are exact given their candidate sets; the choice is a bytes
-    * question whose answer is corpus-dependent, so it is a parameter
-    * (default: melt — the operator's own banding semantics, and the
-    * cheaper shape on the driver-like corpus), not a guess hidden in
-    * the plan.
+  /** Beyond-cap fallback choice for q17 (see `q17MinHashPairsImpl` for the
+    * measured trade). `Auto` estimates BOTH designs' verify-shuffle bytes
+    * from cheap sub-linear aggregations at fallback time and picks the
+    * cheaper (ties → Melt); `Melt`/`Ppjoin` force a design when the caller
+    * knows the corpus shape.
     */
-  private[graft] def q17MinHashPairsImpl(
-      spark: SparkSession, sfDir: String, threshold: Double,
-      candCap: Int, shingleLongsCap: Long,
-      escalateViaPpjoin: Boolean = false): DataFrame = {
-    import spark.implicits._
-    // fixed-N repartition: the one-file parquet split would otherwise cap
-    // the signature pass's parallelism — and an N-less repartition(col)
-    // is AQE-coalescible, which on a small corpus folds the CPU-heavy
-    // signature stage back into ONE task (q19 measured the same effect:
-    // 0.40 s single-task vs ~0.1 s across 32; AQE sizes by bytes and
-    // cannot see the 128-perm CPU cost per row)
-    val docs = Tables.documents(spark, sfDir)
-      .select($"doc_id", $"text")
-      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+  sealed trait Q17Fallback
+  object Q17Fallback {
+    case object Auto extends Q17Fallback
+    case object Melt extends Q17Fallback
+    case object Ppjoin extends Q17Fallback
+  }
 
-    // Band bucket keys: the band index is folded into the hash seed, so
-    // one mixed 64-bit key replaces the (band, hash) pair — a cross-band
-    // key collision can only MERGE buckets, which adds candidates that
-    // the exact verify below discards (never loses a pair). sz rides
-    // along for the length filter.
-    val bandRows = docs.as[(Long, String)]
+  /** Verify-shuffle byte estimates for the two q17 beyond-cap fallbacks —
+    * the corpus-shape observable behind `Q17Fallback.Auto`. Both numbers
+    * estimate the same quantity for their design: bytes of shingle arrays
+    * shuffled to verify that design's candidate set (pairs × both sides'
+    * array bytes). The RATIO is what classifies a corpus, so the rule is
+    * scale-free and spec-testable at small n (MinHashSpec pins it on both
+    * round-8 ScaleProbe shapes: template-heavy → Ppjoin, fat-Zipf-head
+    * short docs → Melt).
+    */
+  private[graft] final case class Q17FallbackEstimates(
+      meltVerifyBytes: Double, ppjoinVerifyBytes: Double) {
+    def usePpjoin: Boolean = ppjoinVerifyBytes < meltVerifyBytes
+  }
+
+  /** Band-bucket rows (bucket, doc_id, sz) for the q17 banding — the
+    * signature pass, extracted so the fallback estimator can re-derive the
+    * bucket-population observable from the same kernel the query uses.
+    * `docs` must carry (doc_id, text).
+    */
+  private[graft] def q17BandRows(
+      spark: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           // null text ≡ empty text (zero shingles) — crawls contain null
@@ -304,6 +285,112 @@ object TextOps {
         }
       }
       .toDF("bucket", "doc_id", "sz")
+  }
+
+  /** Estimate both beyond-cap fallbacks' verify bytes WITHOUT running
+    * either verify join — the `Q17Fallback.Auto` decision input:
+    *
+    *  - melt: Σ over band buckets of c·(c−1)/2 pairs, each weighted by
+    *    2 × the bucket's mean shingle count × 8 B. One agg over the
+    *    (bucket, count, mean sz) populations — no arrays move. Duplicate
+    *    pairs (multi-band collisions) are counted once per shared bucket,
+    *    a mild overestimate on exactly the corpora where the melt is
+    *    already losing.
+    *  - ppjoin: Σ over prefix posting keys of c·(c−1)/2 — the raw prefix
+    *    co-occurrence pairs the exact join would enumerate — same byte
+    *    weighting, read off the (gram, df-blocked) key populations of
+    *    q19's OWN prefix stage without materializing the join. Costs the
+    *    df TakeOrdered + one prefix pass (both vocabulary/corpus-linear);
+    *    the stage's shingle pin is CAS-released before returning.
+    *
+    * Both estimates are upper-ish bounds of the same quantity for their
+    * design, so comparing them is fair; at real fallback scale (the only
+    * time Auto runs) the ~3 linear passes here are noise against the
+    * hundreds of GB the wrong verify join shuffles (ROADMAP round 8:
+    * melt ~200 GB on the template-heavy shape, ppjoin 17× the bytes on
+    * the fat-Zipf-head shape).
+    */
+  private[graft] def q17FallbackEstimates(
+      spark: SparkSession, docs: DataFrame, threshold: Double): Q17FallbackEstimates = {
+    import spark.implicits._
+    def pairBytes(keyed: DataFrame, keyCol: String, szCol: String): Double = {
+      val r = keyed.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("c"), avg(col(szCol)).as("msz"))
+        .agg(sum(($"c" * ($"c" - lit(1)) / lit(2)).cast("double") * $"msz" * lit(16.0)))
+        .collect()(0)
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val meltBytes = pairBytes(q17BandRows(spark, docs, threshold), "bucket", "sz")
+    val stages = q19StagesFromDocs(
+      spark, docs.select(lit("_all").as("source"), col("doc_id"), col("text")),
+      threshold, HotGramDf, HotGramBlock)
+    val ppjBytes =
+      try pairBytes(stages.distPrefixes(), "_1", "_3")
+      finally stages.releaseOwnPin()
+    Q17FallbackEstimates(meltBytes, ppjBytes)
+  }
+
+  def q17MinHashPairs(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.7,
+      fallback: Q17Fallback = Q17Fallback.Auto): DataFrame =
+    q17MinHashPairsImpl(spark, sfDir, threshold, 4 << 20, 16L << 20, fallback)
+
+  /** q17 with injectable probe caps — MinHashSpec forces BOTH distributed
+    * fallbacks (caps = 0) to keep each provably equal to the broadcast
+    * path and to brute force.
+    *
+    * `fallback` picks the beyond-cap design (the PUBLIC q17MinHashPairs
+    * defaults to Auto — see Q17Fallback/Q17FallbackEstimates; this Impl
+    * defaults to Melt so cap-forcing specs pin one design). The round-8
+    * scale probe measured the trade on two 100×-sf0.1-shaped corpora
+    * (ROADMAP round 8), and NEITHER design dominates:
+    *
+    *  - pair-melt verify (default): shuffle ≈ 2·|banding candidates|·
+    *    |shingle set|. Its candidate set is the banding's own (b=32,
+    *    r=4 ⇒ S-curve midpoint J ≈ 0.42). On a TEMPLATE-HEAVY corpus
+    *    (10% of 2.4M docs sharing 8 boilerplate tails, pairwise
+    *    J ≈ 0.13 — far below threshold) collisions at 32·J⁴ ≈ 5e-3
+    *    still banded ~30M spurious candidates → ~200 GB of array
+    *    shuffle to verify-and-discard. Quadratic in template-family
+    *    size: that shape needs the ppjoin.
+    *  - exact-ppjoin escalation: immune to templates by construction
+    *    (boilerplate grams are HOT; prefixes take the df-ascending,
+    *    i.e. rare, end — template families generate no candidates).
+    *    But on a fat-Zipf-head SHORT-DOC corpus (the driver's own
+    *    ~45-word document shape), random pairs share enough mid-df
+    *    grams that the prefix co-occurrence itself floods: measured
+    *    405M raw prefix pairs → 354M distinct candidates at 150k docs
+    *    vs banding's 21M — ~17× MORE array-verify bytes than the melt.
+    *
+    * Both are exact given their candidate sets; the choice is a bytes
+    * question whose answer is corpus-dependent, so the public API
+    * estimates both designs' bytes at fallback time and picks the
+    * cheaper (Q17Fallback.Auto; ties and estimate failure → melt, the
+    * operator's own banding semantics), with Melt/Ppjoin as explicit
+    * overrides — not a guess hidden in the plan.
+    */
+  private[graft] def q17MinHashPairsImpl(
+      spark: SparkSession, sfDir: String, threshold: Double,
+      candCap: Int, shingleLongsCap: Long,
+      fallback: Q17Fallback = Q17Fallback.Melt): DataFrame = {
+    import spark.implicits._
+    // fixed-N repartition: the one-file parquet split would otherwise cap
+    // the signature pass's parallelism — and an N-less repartition(col)
+    // is AQE-coalescible, which on a small corpus folds the CPU-heavy
+    // signature stage back into ONE task (q19 measured the same effect:
+    // 0.40 s single-task vs ~0.1 s across 32; AQE sizes by bytes and
+    // cannot see the 128-perm CPU cost per row)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+      .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
+
+    // Band bucket keys: the band index is folded into the hash seed, so
+    // one mixed 64-bit key replaces the (band, hash) pair — a cross-band
+    // key collision can only MERGE buckets, which adds candidates that
+    // the exact verify below discards (never loses a pair). sz rides
+    // along for the length filter. (Kernel extracted to q17BandRows so
+    // the Auto fallback estimator observes the same bucket populations.)
+    val bandRows = q17BandRows(spark, docs, threshold)
 
     // Candidate pairs from a band-table SELF-JOIN on the bucket key; the
     // length filter drops pairs no Jaccard ≥ t pair can violate, so the
@@ -385,7 +472,12 @@ object TextOps {
           while (it.hasNext && !over) {
             val (id, text) = it.next()
             if (ids.contains(id)) {
-              val sh = shingleHashes(text, ShingleSize)
+              // null guard kept consistent with the banding/melt/q19-local
+              // paths: banding excludes null-text docs only when
+              // threshold > 0, so a caller-supplied threshold ≤ 0 can put
+              // a null-text doc in the candidate set
+              val sh = if (text == null) Array.emptyLongArray
+                       else shingleHashes(text, ShingleSize)
               longs += sh.length
               if (longs > perPartLongs) over = true else buf += ((id, sh))
             }
@@ -423,10 +515,22 @@ object TextOps {
         }
       }
 
-    // Beyond-cap fallback — see the escalateViaPpjoin scaladoc above for
-    // the measured corpus-dependent trade between the two designs.
+    // Beyond-cap fallback — see the Impl scaladoc above for the measured
+    // corpus-dependent trade between the two designs. Auto pays ~3 cheap
+    // linear passes (bucket-population agg + df order + prefix agg) to
+    // estimate both verify-shuffle byte counts before committing — at
+    // the scales where the caps blow, the wrong choice costs hundreds of
+    // GB of array shuffle (ROADMAP round 8).
     bcastPlan.getOrElse {
-      if (escalateViaPpjoin)
+      val usePpjoin = fallback match {
+        case Q17Fallback.Ppjoin => true
+        case Q17Fallback.Melt   => false
+        case Q17Fallback.Auto =>
+          q17FallbackEstimates(
+            spark, Tables.documents(spark, sfDir).select($"doc_id", $"text"), threshold
+          ).usePpjoin
+      }
+      if (usePpjoin)
         // exact prefix-filtered join (q19's engine, constant group):
         // the template-heavy-corpus shape
         q19StagesFromDocs(
@@ -567,7 +671,12 @@ object TextOps {
       docs: () => DataFrame, distPrefixes: () => DataFrame, distRawPairs: () => DataFrame,
       distCandidates: () => DataFrame, distResult: () => DataFrame,
       result: DataFrame, usedLocalPlan: Boolean, usedApproxDfOrder: () => Boolean,
-      approxOrderTailDfBound: () => Long)
+      approxOrderTailDfBound: () => Long,
+      // release THIS call's shingle pin iff it is still the handoff-current
+      // one (CAS against lastQ19Cache — a concurrent call's swap already
+      // released it). For callers that consume only intermediate stages
+      // (the q17 Auto fallback estimator) and never execute `result`.
+      releaseOwnPin: () => Unit)
 
   /** Fast-path bounds (per SOURCE group): the classic in-task ppjoin is
     * used only when every group fits one task's memory with margin —
@@ -803,6 +912,8 @@ object TextOps {
     // spills to disk so the cache never OOMs a task. The pin is a PLAIN
     // RDD behind a LogicalRDD barrier (see lastQ19Cache): per-call-owned,
     // terminally releasable, safe against a concurrent sibling's swap.
+    val ownPin =
+      new java.util.concurrent.atomic.AtomicReference[org.apache.spark.rdd.RDD[_]](null)
     lazy val docs = {
       val r = docsIn
         .repartition(spark.sessionState.conf.numShufflePartitions, $"doc_id")
@@ -812,6 +923,7 @@ object TextOps {
         }
         .rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ownPin.set(r)
       // One cache may outlive this call (the returned plan is lazy), but
       // never more than one: each call releases the previous call's cache
       // (ADVICE r4 — Verify dumping all queries used to accumulate them).
@@ -1040,7 +1152,13 @@ object TextOps {
       () => distResult,
       if (smallGroups) localResult else distResult, usedLocalPlan = smallGroups,
       usedApproxDfOrder = () => approxOrderUsed,
-      approxOrderTailDfBound = () => approxTailDfBound)
+      approxOrderTailDfBound = () => approxTailDfBound,
+      releaseOwnPin = () => {
+        val r = ownPin.get
+        if (r != null && lastQ19Cache.compareAndSet(r, null)) {
+          try r.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+        }
+      })
   }
 
   /** Document fingerprint, winnowing flavor: whole-content hash + the

@@ -50,10 +50,13 @@ import scala.util.Random
   *        boundary (q10), at 1 µs, and at 30 days.
   *      * documents.lang ∈ {en,de,fr,es,zh} and source is non-null: the
   *        q29 oracle maps exactly those codes; q19 partitions by source.
-  *      * embeddings are fixed dim-64 with non-null arrays; zero-norm,
-  *        NaN-element, ±Inf-element and exact-duplicate vectors ARE
-  *        included — the ANN oracles encode the engine's NaN→0.0
-  *        corrupt-cosine convention explicitly.
+  *      * embeddings are fixed dim-64 when present; zero-norm,
+  *        NaN-element, ±Inf-element, exact-duplicate AND NULL vectors
+  *        ARE included — the ANN oracles encode the engine's NaN→0.0
+  *        corrupt-cosine convention explicitly, and q20/q26/q30 filter
+  *        NULL embeddings on both engines (q38 counts them). Ragged/
+  *        empty arrays stay Full-only (DuckDB list_dot_product length
+  *        conventions differ).
   *
   *  - [[FuzzTables.Full]] — superset for the in-JVM no-crash/determinism
   *    gate (no DuckDB in the loop): full hostile Unicode in text and
@@ -452,7 +455,7 @@ object FuzzTables {
     }
 
     // embeddings: dim-64 dyadic floats; zero-norm, NaN-element,
-    // Inf-element, exact-duplicate vectors; Full adds ragged/null arrays
+    // Inf-element, exact-duplicate, null vectors; Full adds ragged arrays
     locally {
       val r = rng(seed, "embeddings")
       val dim = 64
@@ -469,7 +472,13 @@ object FuzzTables {
           case 4 => { val x = vec(); x(r.nextInt(dim)) = -0.0f; x }
           case 5 if full => Array.empty[Float]
           case 6 if full => Array.fill(3)(1.0f) // ragged dim
-          case 7 if full => null
+          // null embeddings are ORACLE-SAFE (r9): every embedding query
+          // either filters them (q20/q26/q30, WHERE embedding IS NOT NULL
+          // on both engines) or counts them (q38 n_null) — admitting them
+          // here makes the q20 null-filter convention load-bearing on the
+          // DuckDB gate (ADVICE r8). Ragged/empty stay Full-only: DuckDB
+          // list_dot_product length conventions differ.
+          case 7 => null
           case _ => { val x = vec(); prev = x; x }
         }
         val label: Any = if (r.nextInt(12) == 0) null else r.nextInt(8)

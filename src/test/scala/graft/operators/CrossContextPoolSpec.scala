@@ -42,6 +42,7 @@ class CrossContextPoolSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    val appIdA = a.sparkContext.applicationId
     try {
       LangOps.registerSql(a)
       assert(detectOne(a, "the house of the people") == "eng")
@@ -57,14 +58,17 @@ class CrossContextPoolSpec extends AnyFunSuite {
       s"listener did not clear pools on normal stop: ${LangOps.detectorPoolIds}")
 
     // abnormal-stop simulation: a dead context's pools were never
-    // cleared, and they squat on exactly the low ids a successor
-    // context's broadcasts will reuse. Poison throws on first use — if
-    // the successor ever aliases one, the query dies loudly.
+    // cleared — they squat under the dead app's key space (the composite
+    // key means the low BROADCAST ids alone can no longer collide, so the
+    // squatting entries carry the dead context's real appId). Poison
+    // throws on first use — if the successor ever aliases one, the query
+    // dies loudly.
     def poison: ThreadLocal[Detector] = new ThreadLocal[Detector] {
       override def initialValue(): Detector =
         throw new IllegalStateException("stale pool aliased")
     }
-    (0L until 64L).foreach(id => LangOps.injectStalePool(id, poison))
+    (0L until 64L).foreach(id =>
+      LangOps.injectStalePool(LangOps.detectorPoolKey(appIdA, id), poison))
 
     val b = SparkSession.builder()
       .master("local[4]")
@@ -80,10 +84,20 @@ class CrossContextPoolSpec extends AnyFunSuite {
       assert(detectOne(b, "the house of the people") == "eng")
       assert(detectOne(b, "хороший день сегодня") == "rus")
 
-      // load-bearing check: alias the LIVE id and the same query fails
-      // with the poison — so the clean pass above proves the clear ran,
-      // not that aliasing is harmless
-      val liveId = LangOps.broadcastModel(b).id
+      // ADVICE r8 race: a straggler task thread of the DEAD context
+      // re-inserts its pool AFTER the new context's clear. With the
+      // composite key the orphan lands under the dead appId — inert; the
+      // successor's queries never touch it even though its broadcast id
+      // numerically matches the live one.
+      val liveBcId = LangOps.broadcastModel(b).id
+      LangOps.injectStalePool(LangOps.detectorPoolKey(appIdA, liveBcId), poison)
+      assert(detectOne(b, "the house of the people") == "eng",
+        "a dead context's post-clear re-insertion must never alias the live pool")
+
+      // load-bearing check: alias the LIVE composite key and the same
+      // query fails with the poison — so the clean passes above prove
+      // isolation, not that aliasing is harmless
+      val liveId = LangOps.detectorPoolKey(b.sparkContext.applicationId, liveBcId)
       LangOps.injectStalePool(liveId, poison)
       val e = intercept[Throwable] { detectOne(b, "the house of the people") }
       def chain(t: Throwable): List[Throwable] =

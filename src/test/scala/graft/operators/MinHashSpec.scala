@@ -52,7 +52,7 @@ class MinHashSpec extends AnyFunSuite {
   test("q17 distributed fallbacks (probe caps forced to 0) equal the broadcast path") {
     // candCap = 0 forces pairsArr = null → the beyond-cap fallback; BOTH
     // designs (melt verify and the exact-ppjoin escalation — see the
-    // escalateViaPpjoin scaladoc for the measured corpus-dependent
+    // q17MinHashPairsImpl scaladoc for the measured corpus-dependent
     // trade) must be identical to the fast path and the brute force
     val sf = "/root/testdata/sf0.01"
     val want = brutePairs(sf, 0.7)
@@ -60,7 +60,7 @@ class MinHashSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(melt == want, s"melt fallback diverged: ${(melt diff want) ++ (want diff melt)}")
     val ppj = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 0, shingleLongsCap = 0L,
-        escalateViaPpjoin = true)
+        fallback = TextOps.Q17Fallback.Ppjoin)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(ppj == want, s"ppjoin fallback diverged: ${(ppj diff want) ++ (want diff ppj)}")
   }
@@ -120,10 +120,48 @@ class MinHashSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(fb == want, s"melt fallback diverged: ${(fb diff want) ++ (want diff fb)}")
       val fbPpj = TextOps.q17MinHashPairsImpl(spark, dir, 0.7, candCap = 0, shingleLongsCap = 0L,
-          escalateViaPpjoin = true)
+          fallback = TextOps.Q17Fallback.Ppjoin)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(fbPpj == want,
         s"ppjoin fallback diverged: ${(fbPpj diff want) ++ (want diff fbPpj)}")
     } finally graft.TinyInputs.delete(dir)
+  }
+
+  test("q17 Auto fallback observable classifies both ScaleProbe corpus shapes") {
+    import spark.implicits._
+    // The decision input is a RATIO of two same-quantity estimates, so the
+    // classification is scale-free: the spec exercises it at ~2k docs on
+    // the same two geometries the round-8 probe measured at 150k–2.4M
+    // (ROADMAP round 8: melt ~200 GB on template-heavy, ppjoin 17× the
+    // bytes on fat-Zipf-head).
+    //
+    // Shape 1 — fat-Zipf-head short docs (the driver-like geometry, the
+    // probe's own generator): banding candidates ≪ prefix co-occurrence
+    // pairs → melt.
+    val zipf = graft.scale.ScaleProbe.documentsDf(spark, 2000L)
+      .select($"doc_id", $"text")
+    val eZipf = TextOps.q17FallbackEstimates(spark, zipf, 0.7)
+    assert(!eZipf.usePpjoin,
+      s"fat-Zipf-head shape must pick melt: $eZipf")
+    assert(eZipf.meltVerifyBytes > 0 && eZipf.ppjoinVerifyBytes > 0, s"degenerate estimate: $eZipf")
+    // Shape 2 — template-heavy: families sharing a long boilerplate tail
+    // at pairwise J ≈ 0.5 (below threshold — pure spurious banding mass,
+    // quadratic in family size), while every doc's PREFIX (its rarest
+    // ~30% of grams) is private random words with df = 1 → the ppjoin
+    // generates ~no candidates by construction.
+    val rng = new graft.train.FixtureCorpus.Rng(0x17beefL)
+    def word(): String =
+      (0 until (4 + rng.nextInt(5))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val boiler = (0 until 4).map(_ => (0 until 60).map(_ => word()).mkString(" "))
+    val tdocs = (0L until 600L).map { id =>
+      if (id < 400) // 4 template families of 100
+        (id, boiler((id % 4).toInt) + " " + (0 until 30).map(_ => word()).mkString(" "))
+      else // independent random docs
+        (id, (0 until 45).map(_ => word()).mkString(" "))
+    }
+    val eTmpl = TextOps.q17FallbackEstimates(
+      spark, tdocs.toDF("doc_id", "text"), 0.7)
+    assert(eTmpl.usePpjoin,
+      s"template-heavy shape must pick ppjoin: $eTmpl")
   }
 }

@@ -226,7 +226,8 @@ object ScaleProbe {
           val t0 = System.nanoTime()
           val pairs = graft.operators.TextOps.q17MinHashPairsImpl(
             spark, dir, 0.7, candCap = 0, shingleLongsCap = 0L,
-            escalateViaPpjoin = mode == "q17ppj")
+            fallback = if (mode == "q17ppj") graft.operators.TextOps.Q17Fallback.Ppjoin
+                       else graft.operators.TextOps.Q17Fallback.Melt)
           val collected = pairs.cache()
           val n = collected.count()
           val dt = (System.nanoTime() - t0) / 1e9
