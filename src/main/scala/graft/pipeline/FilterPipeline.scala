@@ -162,6 +162,11 @@ object FilterPipeline {
       // null ≡ empty page: the detector guards null itself, but the
       // line-length loop and scrub below index the string directly
       val text = if (text0 == null) "" else text0
+      // null url ≡ empty url (same convention): the host parse below
+      // indexes it directly, and the STREAMING dedup sorts group rows by
+      // (ts, url) — a null url in DocResult would NPE that comparator on
+      // the first tied timestamp (crawls contain both)
+      val u = if (url == null) "" else url
       val nRanked = det.detectInPlace(text) // allocation-free result arrays
       val toks = det.tokens // valid until the next detection call
       // language + confidence: reordered pick + softmax relative probability
@@ -227,10 +232,10 @@ object FilterPipeline {
       // PII + toxicity scrub (north_star regex scrubber)
       val scrubbed = scrub(text)
 
-      val host = url.stripPrefix("https://").stripPrefix("http://").takeWhile(_ != '/')
+      val host = u.stripPrefix("https://").stripPrefix("http://").takeWhile(_ != '/')
 
       DocResult(
-        url, ts, host, lang, conf, perplexity, coverage, wc, repRatio, avgLen,
+        u, ts, host, lang, conf, perplexity, coverage, wc, repRatio, avgLen,
         stopwordRatio, nLines, maxLine,
         graft.lang.NgramHash.ofString(text), scrubbed)
     }
@@ -316,9 +321,11 @@ object FilterPipeline {
           // a third of the corpus; their winner carries the processed copy)
           val doc =
             if (isDup) {
-              val host = url.stripPrefix("https://").stripPrefix("http://")
+              // null url ≡ empty url, matching processDoc's convention
+              val u = if (url == null) "" else url
+              val host = u.stripPrefix("https://").stripPrefix("http://")
                 .takeWhile(_ != '/')
-              DocResult(url, ts, host, "und", 0.0, Double.MaxValue, 0.0,
+              DocResult(u, ts, host, "und", 0.0, Double.MaxValue, 0.0,
                 0, 1.0, 0.0, 0.0, 0, 0,
                 graft.lang.NgramHash.ofString(if (text == null) "" else text), "")
             } else processDoc(model.value, det, wordFreq, url, ts, text)

@@ -41,6 +41,12 @@ object StreamingFilter {
       .option("maxFilesPerTrigger", "8")
       .parquet(pagesDir)
       .select($"url", $"warc_ts", $"text")
+      // a crawl row with no event time cannot participate in watermarked
+      // semantics: the dedup state's staleness/expiry arithmetic is all
+      // warc_ts-driven (getTime on every group row). Dropped HERE, the one
+      // ingestion choke point, rather than NPE-ing the state function —
+      // the batch pipeline keeps such rows (it needs no event time).
+      .filter($"warc_ts".isNotNull)
       .as[(String, java.sql.Timestamp, String)]
       .mapPartitions(it => FilterPipeline.processPartition(model.value, config, it))
   }

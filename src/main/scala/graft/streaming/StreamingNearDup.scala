@@ -58,8 +58,10 @@ object StreamingNearDup {
         // convention: such docs can never near-dup-pair, and their
         // all-MaxValue signatures would herd every empty doc into the
         // same buckets; a null used to NPE and kill the streaming
-        // query — a poison-message hazard)
-        val sh = if (text == null) Array.emptyLongArray
+        // query — a poison-message hazard). A null EVENT TIME drops the
+        // row for the same reason as StreamingFilter.docStream: bucket
+        // ownership/expiry is ts-driven (getTime on every band row).
+        val sh = if (ts == null || text == null) Array.emptyLongArray
                  else TextOps.shingleHashes(text, TextOps.ShingleSize)
         if (sh.isEmpty) Iterator.empty
         else {

@@ -105,7 +105,7 @@ object FuzzTables {
       case _ => dyadic(r, maxAbs)
     }
 
-  private def hostileTs(r: Random): Timestamp = {
+  private[graft] def hostileTs(r: Random): Timestamp = {
     val t = r.nextInt(20) match {
       case 0 => TsLo // negative epoch
       case 1 => TsHi
@@ -134,7 +134,7 @@ object FuzzTables {
 
   /** Hostile-ASCII document text: repeated-word, empty, single-char,
     * double-space, long, and ordinary mixtures. */
-  private def asciiText(r: Random): String = r.nextInt(20) match {
+  private[graft] def asciiText(r: Random): String = r.nextInt(20) match {
     case 0 => ""
     case 1 => asciiWords(r.nextInt(asciiWords.size))
     case 2 => // repetition-heavy (q25 max ratio)
@@ -150,7 +150,7 @@ object FuzzTables {
 
   /** Full-profile Unicode text: the FuzzSpec code-point classes, including
     * lone surrogates and NUL (valid Java strings; never read by DuckDB). */
-  private def unicodeText(r: Random): String = {
+  private[graft] def unicodeText(r: Random): String = {
     val n = r.nextInt(4) match {
       case 0 => 0
       case 1 => 1 + r.nextInt(3)

@@ -204,4 +204,48 @@ class BlockEvictionSpec extends AnyFunSuite {
       assert(sawEviction, "chaos thread never caught a live q32 pin")
     } finally graft.TinyInputs.delete(dir)
   }
+
+  // ---- trainer gram-count pin (VERDICT r8 #2) ----------------------------
+
+  private def modelRows(df: org.apache.spark.sql.DataFrame): Set[(String, Int, String, Long, Long)] =
+    df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+
+  test("trainer fractions stay exact while the gram-count pin is evicted mid-build") {
+    // the one per-call RDD pin without mid-query eviction coverage until
+    // this test: trainSparkFractions' countsRdd feeds five consumers
+    // (broadcast-decision count, totals, uniAndWord, both lower joins) —
+    // an eviction between any two must recompute the SAME counts (hash
+    // agg of a deterministic flatMap; integer sums are partitioning-
+    // invariant), never silently drop model rows
+    import spark.implicits._
+    val rng = new graft.train.FixtureCorpus.Rng(0x29c4a05L)
+    def word(): String =
+      (0 until (3 + rng.nextInt(5))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val vocab = Vector.fill(80)(word())
+    val corpus = (0 until 240).map { i =>
+      ("eng", (0 until 12).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val corpusDf = corpus.toDF("lang", "line")
+    val expected = modelRows(graft.train.Trainer.trainSparkFractions(spark, corpusDf))
+    graft.train.Trainer.releaseTrainerCache()
+    assert(expected.nonEmpty)
+    var sawEviction = false
+    (0 until 6).foreach { round =>
+      val before = persistedIds()
+      val chaos = new Chaos(before, terminal = round % 2 == 0)
+      try {
+        val got = modelRows(graft.train.Trainer.trainSparkFractions(spark, corpusDf))
+        assert(got == expected,
+          s"trainer diverged under ${if (round % 2 == 0) "terminal" else "block-loss"} chaos (round $round)")
+      } finally {
+        sawEviction ||= chaos.evictions > 0
+        chaos.shutdown()
+      }
+      graft.train.Trainer.releaseTrainerCache()
+      val leaked = newIdsSettled(before)
+      assert(leaked.isEmpty, s"stranded trainer pins after chaos round $round: $leaked")
+    }
+    assert(sawEviction, "chaos thread never caught a live trainer pin; gate did not exercise eviction")
+  }
 }
