@@ -330,6 +330,13 @@ object TextOps {
     Q17FallbackEstimates(meltBytes, ppjBytes)
   }
 
+  /** Last Auto decision's estimates (test/probe observability, the
+    * usedApproxDfOrder pattern): set only when a q17 call actually
+    * reached the beyond-cap fallback with Q17Fallback.Auto.
+    */
+  private[graft] val lastQ17AutoEstimates =
+    new java.util.concurrent.atomic.AtomicReference[Q17FallbackEstimates](null)
+
   def q17MinHashPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.7,
       fallback: Q17Fallback = Q17Fallback.Auto): DataFrame =
@@ -526,9 +533,10 @@ object TextOps {
         case Q17Fallback.Ppjoin => true
         case Q17Fallback.Melt   => false
         case Q17Fallback.Auto =>
-          q17FallbackEstimates(
-            spark, Tables.documents(spark, sfDir).select($"doc_id", $"text"), threshold
-          ).usePpjoin
+          val est = q17FallbackEstimates(
+            spark, Tables.documents(spark, sfDir).select($"doc_id", $"text"), threshold)
+          lastQ17AutoEstimates.set(est)
+          est.usePpjoin
       }
       if (usePpjoin)
         // exact prefix-filtered join (q19's engine, constant group):

@@ -63,6 +63,16 @@ class MinHashSpec extends AnyFunSuite {
         fallback = TextOps.Q17Fallback.Ppjoin)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(ppj == want, s"ppjoin fallback diverged: ${(ppj diff want) ++ (want diff ppj)}")
+    // Auto (the public default) end-to-end: both estimate passes run,
+    // a design is chosen, and the result still equals brute force
+    val auto = TextOps.q17MinHashPairsImpl(spark, sf, 0.7, candCap = 0, shingleLongsCap = 0L,
+        fallback = TextOps.Q17Fallback.Auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == want, s"auto fallback diverged: ${(auto diff want) ++ (want diff auto)}")
+    // the fixture corpus is driver-shaped (short docs, compact vocab →
+    // fat posting lists flood the ppjoin prefixes): Auto must pick melt
+    val est = TextOps.lastQ17AutoEstimates.get
+    assert(est != null && !est.usePpjoin, s"fixture corpus must classify melt: $est")
   }
 
   test("q17 shingle-fetch overflow (pair cap ok, shingle cap 0) falls back correctly") {

@@ -219,19 +219,28 @@ object ScaleProbe {
           println(f"PROBE q32 rows=${rows.length} wall=$dt%.2f s")
           rows.sortBy(r => Option(r.getString(0)).getOrElse("")).foreach(r => println(s"PROBE q32 ROW $r"))
           stages.result.coalesce(1).write.mode("overwrite").parquet(s"$dir/q32_result.parquet")
-        case "q17melt" | "q17ppj" =>
+        case "q17melt" | "q17ppj" | "q17auto" =>
           // beyond-cap fallback audits: caps zeroed so the chosen
           // fallback carries the whole result; exactness asserted the
-          // same way as the public path
+          // same way as the public path. q17auto runs the estimate
+          // passes at probe scale and must pick melt on this
+          // fat-Zipf-head-shaped corpus (the r8 measurement).
           val t0 = System.nanoTime()
           val pairs = graft.operators.TextOps.q17MinHashPairsImpl(
             spark, dir, 0.7, candCap = 0, shingleLongsCap = 0L,
-            fallback = if (mode == "q17ppj") graft.operators.TextOps.Q17Fallback.Ppjoin
-                       else graft.operators.TextOps.Q17Fallback.Melt)
+            fallback = mode match {
+              case "q17ppj"  => graft.operators.TextOps.Q17Fallback.Ppjoin
+              case "q17auto" => graft.operators.TextOps.Q17Fallback.Auto
+              case _         => graft.operators.TextOps.Q17Fallback.Melt
+            })
           val collected = pairs.cache()
           val n = collected.count()
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"PROBE $mode pairs=$n wall=$dt%.2f s")
+          if (mode == "q17auto") {
+            val est = graft.operators.TextOps.lastQ17AutoEstimates.get
+            println(s"PROBE q17auto estimates=$est chosePpjoin=${est != null && est.usePpjoin}")
+          }
           auditPairs(spark, collected, dir, 0.7, sameSourceOnly = false)
           collected.unpersist()
         case "q17" =>
