@@ -72,7 +72,12 @@ object SparkEntry {
                 WHEN 'fr' THEN 'fra' WHEN 'es' THEN 'spa' ELSE lang END""").as("lang"),
         org.apache.spark.sql.functions.col("text").as("line"))
       graft.train.Trainer.trainSparkFractions(s, corpus)
-    })
+    }),
+    // Near-dup cluster resolution: connected components over the q17
+    // pair graph (alternating large-star/small-star) + keep-one canonical
+    // selection — the pairs -> clusters -> dedup'd-corpus stage.
+    "q39_neardup_clusters" ->
+      ((s: SparkSession, d: String) => Clusters.q39NearDupClusters(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -463,6 +468,26 @@ object SparkEntry {
         |  JOIN counts s ON s.lang = c.lang AND s.size = c.size - 1
         |   AND s.ngram = substr(c.ngram, 2, c.size - 1)
         |  WHERE c.size >= 2)
-        |SELECT * FROM uni UNION ALL SELECT * FROM wrd UNION ALL SELECT * FROM hi""".stripMargin
+        |SELECT * FROM uni UNION ALL SELECT * FROM wrd UNION ALL SELECT * FROM hi""".stripMargin,
+    // Cluster resolution oracle: transitive closure over the DUMPED q17
+    // pair set (itself hash-gated against the DuckDB brute-force pair
+    // oracle above) via a recursive CTE — min reachable doc_id per node,
+    // singletons from the documents left join. DuckDB recursion replaces
+    // the engine's O(log^2 n) star alternation; same fixpoint.
+    "q39_neardup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT doc_a, doc_b FROM read_parquet('__OUT_DIR__/q17_minhash_pairs/*.parquet')),
+        |edges AS (
+        | SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        | SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+        | UNION
+        | SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+        |lbl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+        |SELECT d.doc_id,
+        | coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        | d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id""".stripMargin
   )
 }

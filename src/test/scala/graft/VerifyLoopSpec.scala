@@ -36,17 +36,18 @@ class VerifyLoopSpec extends AnyFunSuite {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/oracle_sql.json")))
 
       // post-loop: only the LAST swapped-in pin of each handoff operator
-      // may remain (q19's shingle cache, q29's trainer gram counts — a
-      // sequential caller's lazy result plan still needs its pin); more
-      // than one per operator means a handoff in the loop failed to
-      // release. This gate is what caught q29's unowned Dataset cache
-      // (`counts.cache()` with no release path — one corpus-sized strand
-      // per dump-all).
+      // may remain (q19's shingle cache, q29's trainer gram counts,
+      // q39's star forest — a sequential caller's lazy result plan still
+      // needs its pin); more than one per operator means a handoff in
+      // the loop failed to release. This gate is what caught q29's
+      // unowned Dataset cache (`counts.cache()` with no release path —
+      // one corpus-sized strand per dump-all).
       val live = persistedIds() -- before
-      assert(live.size <= 2, s"dump-all loop stranded handoff caches: $live")
+      assert(live.size <= 3, s"dump-all loop stranded handoff caches: $live")
 
       graft.operators.TextOps.releaseQ19Cache()
       graft.train.Trainer.releaseTrainerCache()
+      graft.operators.Clusters.releaseQ39Cache()
       var left = persistedIds() -- before
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       while (left.nonEmpty && System.nanoTime() < deadline) {

@@ -248,4 +248,42 @@ class BlockEvictionSpec extends AnyFunSuite {
     }
     assert(sawEviction, "chaos thread never caught a live trainer pin; gate did not exercise eviction")
   }
+
+  // ---- q39 star-forest pin (cluster resolution) --------------------------
+
+  test("q39 components stay exact while iteration pins and the star pin are evicted") {
+    // the connected-components loop persists THREE pin generations per
+    // round (curr, largeStar, next) and hands the converged star forest
+    // off lazily — chaos must never change a label: every transform in
+    // the chain (min-reduce, hash-partitioned join, distinct) recomputes
+    // identical contents, so eviction can only cost recompute time. The
+    // chain shape forces ~8 alternation rounds = a long mid-query window.
+    import spark.implicits._
+    val edges = ((0L until 255L).map(i => (i, i + 1)) ++
+      (for (i <- 300 until 310; j <- i + 1 until 310) yield (i.toLong, j.toLong))).toSeq
+    val edgesDf = edges.toDF("u", "v")
+    def labelsOf(): Map[Long, Long] =
+      Clusters.connectedComponents(spark, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = labelsOf()
+    Clusters.releaseQ39Cache()
+    assert(expected.nonEmpty && expected.forall { case (n, l) => l == (if (n < 256) 0L else 300L) })
+    var sawEviction = false
+    (0 until 6).foreach { round =>
+      val before = persistedIds()
+      val chaos = new Chaos(before, terminal = round % 2 == 0)
+      try {
+        val got = labelsOf()
+        assert(got == expected,
+          s"q39 labels diverged under ${if (round % 2 == 0) "terminal" else "block-loss"} chaos (round $round)")
+      } finally {
+        sawEviction ||= chaos.evictions > 0
+        chaos.shutdown()
+      }
+      Clusters.releaseQ39Cache()
+      val leaked = newIdsSettled(before)
+      assert(leaked.isEmpty, s"stranded q39 pins after chaos round $round: $leaked")
+    }
+    assert(sawEviction, "chaos thread never caught a live q39 pin; gate did not exercise eviction")
+  }
 }

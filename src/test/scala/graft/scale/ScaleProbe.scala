@@ -252,6 +252,43 @@ object ScaleProbe {
           println(f"PROBE q17 pairs=$n wall=$dt%.2f s")
           auditPairs(spark, collected, dir, 0.7, sameSourceOnly = false)
           collected.unpersist()
+        case "q39" =>
+          // cluster resolution at scale: the star alternation must label
+          // every doc with its component min. Audit is a DRIVER
+          // union-find over the collected q17 pair set (pair-bounded,
+          // small even at 10x — and itself exactness-audited by the q17
+          // mode) compared distributedly against the full output.
+          import spark.implicits._
+          val t0 = System.nanoTime()
+          val out = graft.operators.Clusters.q39NearDupClusters(spark, dir)
+            .as[(Long, Long, Boolean)].cache()
+          val nDocs = out.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val rounds = graft.operators.Clusters.lastRounds.get
+          val pairs = graft.operators.TextOps.q17MinHashPairs(spark, dir)
+            .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          for ((u, v) <- pairs) {
+            val (ru, rv) = (find(u), find(v))
+            if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+          }
+          val expected = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+            .toSet[Long].iterator.map(n => n -> find(n)).toMap
+          val bc = spark.sparkContext.broadcast(expected)
+          val bad = out.filter { case (id, cid, keep) =>
+            bc.value.getOrElse(id, id) != cid || keep != (id == cid)
+          }.count()
+          val clustered = expected.size
+          val clusters = expected.values.toSet.size
+          println(f"PROBE q39 docs=$nDocs clusteredDocs=$clustered clusters=$clusters " +
+            f"rounds=$rounds bad=$bad wall=$dt%.2f s")
+          out.unpersist()
+          require(bad == 0, s"q39 audit: $bad rows diverged from driver union-find")
+          require(nDocs > 0 && clustered > 0, "q39 audit vacuous")
         case "q29" =>
           // distributed trainer at scale: groupBy-count with map-side
           // combine + prefix/suffix self-joins; exactness is gated at

@@ -9,6 +9,8 @@
 #    recomputed from text and planted-cluster recall is asserted inside
 #    ScaleProbe.auditPairs (a failed audit throws -> non-zero exit);
 #  - q19 (within-source 0.3): same audit, per-source;
+#  - q39 (cluster resolution): every doc's label compared against a
+#    driver union-find over the collected (q17-audited) pair set;
 #  - q32: escalated percentile path, checked value-exact against a
 #    DuckDB quantile_cont oracle (tools/scale_q32_oracle.py).
 #
@@ -37,6 +39,11 @@ echo "== q19 at 10x (per-source + pair audit) =="
 sbt -batch "Test/runMain graft.scale.ScaleProbe q19 $DIR" \
   > "$WORK/q19.log" 2>&1
 grep -E "PROBE (q19 pairs|q19 approx|audit|planted)" "$WORK/q19.log"
+
+echo "== q39 at 10x (cluster resolution vs driver union-find) =="
+sbt -batch "Test/runMain graft.scale.ScaleProbe q39 $DIR" \
+  > "$WORK/q39.log" 2>&1
+grep -E "PROBE q39" "$WORK/q39.log"
 
 echo "== q32 at 10x (escalated path vs DuckDB quantile oracle) =="
 sbt -batch "Test/runMain graft.scale.ScaleProbe q32 $DIR" \
