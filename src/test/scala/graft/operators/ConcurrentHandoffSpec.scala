@@ -264,4 +264,53 @@ class ConcurrentHandoffSpec extends AnyFunSuite {
         s"verify broadcasts outlived their dereferenced plans (broadcast ids): $newBc")
     } finally corpora.foreach { case (dir, _) => graft.TinyInputs.delete(dir) }
   }
+
+  // ---- q39: star-forest handoff pin -------------------------------------
+
+  test("concurrent q39 component calls stay exact and strand at most the settle pin") {
+    // q39 shares q19's handoff discipline and so its hazard: a sibling's
+    // getAndSet swap may release the star pin a lazy result plan was
+    // built over (→ storage-free recompute of the whole iteration chain,
+    // never a value change), and same-graph calls canonicalize alike —
+    // the Dataset-cache strand shape. Two futures per graph.
+    import spark.implicits._
+    def edges(variant: Int): Seq[(Long, Long)] = {
+      val base = variant * 100000L
+      ((0L until 120L).map(i => (base + i, base + i + 1)) ++
+        (for (i <- 0 until 8; j <- i + 1 until 8) yield (base + 5000L + i, base + 5000L + j)))
+    }
+    def expectedOf(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((u, v) <- es; if u != v) {
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      es.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toSet[Long].iterator.map(n => n -> find(n)).toMap
+    }
+    val before = persistedIds()
+    val got = withPool(4) { implicit ec =>
+      val futs = (0 until 8).map { i =>
+        val variant = i % 4
+        Future {
+          val labels = Clusters.connectedComponents(spark, edges(variant).toDF("u", "v"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          variant -> labels
+        }
+      }
+      Await.result(Future.sequence(futs), 5.minutes)
+    }
+    got.foreach { case (variant, labels) =>
+      assert(labels == expectedOf(edges(variant)), s"concurrent q39 diverged on variant $variant")
+    }
+    val live = persistedIds() -- before
+    assert(live.size <= 1, s"more than the settle pin survived concurrent q39 calls: $live")
+    Clusters.releaseQ39Cache()
+    val leaked = newIdsSettled(before)
+    assert(leaked.isEmpty, s"stranded q39 pins after settle release: $leaked")
+  }
 }

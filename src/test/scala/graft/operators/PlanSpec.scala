@@ -192,4 +192,17 @@ class PlanSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
       "no cache may outlive the q17 call")
   }
+
+  test("q39: result plan scans doc_id only and shuffles bare keys, never text") {
+    // the iterative star jobs already ran when q39 returns; the RESULT
+    // plan is documents ⟕ labels. Its parquet scan must prune to the
+    // doc_id column (the text column moved only inside q17's own jobs),
+    // so the join shuffles 8-byte keys — the 100 TB-safe shape for a
+    // label side whose size is dup-rate-, not corpus-, bounded
+    val df = Clusters.q39NearDupClusters(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scans.contains("documents.parquet"), scans)
+    assert(!scans.contains("text"), "q39 result scan must not read text\n" + scans)
+    Clusters.releaseQ39Cache()
+  }
 }
