@@ -115,6 +115,35 @@ class ClustersSpec extends AnyFunSuite {
     assert(keeps == clusters, s"keep rows ($keeps) != distinct clusters ($clusters)")
   }
 
+  test("components compose with embedding near-dup pairs (operator-agnostic core)") {
+    // connectedComponents is pair-source-agnostic: the same resolution
+    // applies to Similarity.cosineNearDupPairs output (embedding-space
+    // near-dups), not just q17's text-space pairs. Planted fixture =
+    // SimilaritySpec's (20 noisy near-copies over 300 vectors).
+    import spark.implicits._
+    val rng = new graft.train.FixtureCorpus.Rng(0xced0c5L)
+    def vec(): Array[Float] =
+      Array.fill(64)((rng.nextLong() >>> 40).toFloat / (1L << 24) - 0.5f)
+    val base = (0L until 300L).map(i => (i, vec()))
+    val dups = (0 until 20).map { j =>
+      val (srcId, v) = base(j * 7)
+      val noisy = v.map(x => x + ((rng.nextLong() >>> 40).toFloat / (1L << 24) - 0.5f) * 0.02f)
+      (1000L + srcId, noisy)
+    }
+    val emb = spark.createDataset(base ++ dups)
+    val pairs = Similarity.cosineNearDupPairs(spark, emb, threshold = 0.95)
+      .select($"doc_a".as("u"), $"doc_b".as("v"))
+    val collected = pairs.as[(Long, Long)].collect().toSeq
+    val want = unionFind(collected)
+    val got = Clusters.connectedComponents(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty && got == want,
+      s"embedding-pair components diverged: extra=${got.toSet diff want.toSet}")
+    // each planted copy clusters with (at least) its source, labeled by it
+    assert((0 until 20).forall(j => got.get(1000L + j * 7).contains(got.getOrElse(j * 7L, j * 7L))),
+      s"planted copies must share their source's cluster")
+  }
+
   test("per-call pin discipline: one live handoff pin, settles to zero on release") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet

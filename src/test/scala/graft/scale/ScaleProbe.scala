@@ -289,6 +289,67 @@ object ScaleProbe {
           out.unpersist()
           require(bad == 0, s"q39 audit: $bad rows diverged from driver union-find")
           require(nDocs > 0 && clustered > 0, "q39 audit vacuous")
+        case "q39cc" =>
+          // q39's OWN core (the star alternation) at 3-4 orders beyond
+          // oracle scale, decoupled from the q17 substrate whose
+          // cumulative-shuffle single-box ceiling is already
+          // characterized (ROADMAP r8; q39-over-q17 at 50x re-hits it).
+          // Synthetic edge set with CLOSED-FORM components so the audit
+          // needs no driver graph: disjoint id regions of 64-node chains
+          // (round-count stress: ~8 alternations), ONE mega-star (hub
+          // skew: a single reduce key carries ~20% of all edges), and
+          // mixed groups (spanning chain + seeded random intra-group
+          // extras, incl. duplicate and self edges). Expected label of
+          // any node derives from its id alone.
+          import spark.implicits._
+          val nEdges = if (args.length > 2) args(2).toLong else 20000000L
+          val K = 64L
+          val chainEdges = (nEdges * 4) / 10
+          val starEdges  = (nEdges * 2) / 10
+          val mixEdges   = nEdges - chainEdges - starEdges
+          val StarBase = 1L << 40
+          val MixBase  = 1L << 41
+          val edges = spark.range(nEdges).as[Long].map { i =>
+            if (i < chainEdges) {
+              val c = i / (K - 1); val off = i % (K - 1)
+              val b = c * K
+              (b + off, b + off + 1)
+            } else if (i < chainEdges + starEdges) {
+              (StarBase, StarBase + 1 + (i - chainEdges))
+            } else {
+              val j = i - chainEdges - starEdges
+              val g = j / (2 * (K - 1)); val off = j % (2 * (K - 1))
+              val b = MixBase + g * K
+              if (off < K - 1) (b + off, b + off + 1)
+              else (b + Math.floorMod(mix(j ^ 0x5bd1e995L), K),
+                    b + Math.floorMod(mix(j * 31 + 7), K))
+            }
+          }.toDF("u", "v")
+          val t0 = System.nanoTime()
+          val labels = graft.operators.Clusters.connectedComponents(spark, edges)
+            .as[(Long, Long)].cache()
+          val nNodes = labels.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val rounds = graft.operators.Clusters.lastRounds.get
+          val bad = labels.filter { case (n, l) =>
+            val want = if (n >= StarBase && n < MixBase) StarBase else (n / K) * K
+            l != want
+          }.count()
+          val nClusters = labels.map(_._2).distinct().count()
+          // closed-form expectations
+          val cFull = chainEdges / (K - 1); val cRem = chainEdges % (K - 1)
+          val gFull = mixEdges / (2 * (K - 1)); val gRem = mixEdges % (2 * (K - 1))
+          val expNodes = cFull * K + (if (cRem > 0) cRem + 1 else 0) +
+            (starEdges + 1) +
+            gFull * K + (if (gRem == 0) 0 else if (gRem <= K - 1) gRem + 1 else K)
+          val expClusters = cFull + (if (cRem > 0) 1 else 0) + 1 +
+            gFull + (if (gRem > 0) 1 else 0)
+          println(f"PROBE q39cc edges=$nEdges nodes=$nNodes (exp $expNodes) " +
+            f"clusters=$nClusters (exp $expClusters) rounds=$rounds bad=$bad wall=$dt%.1f s")
+          labels.unpersist()
+          graft.operators.Clusters.releaseQ39Cache()
+          require(bad == 0 && nNodes == expNodes && nClusters == expClusters,
+            s"q39cc audit failed: bad=$bad nodes=$nNodes/$expNodes clusters=$nClusters/$expClusters")
         case "q29" =>
           // distributed trainer at scale: groupBy-count with map-side
           // combine + prefix/suffix self-joins; exactness is gated at
