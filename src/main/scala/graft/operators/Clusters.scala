@@ -113,16 +113,22 @@ object Clusters {
       .distinct(nParts)
 
     var curr = raw.persist(StorageLevel.MEMORY_AND_DISK)
-    curr.count()
     var rounds = 0
     try {
-      while (!isStarForest(curr, part)) {
+      // ONE driver job per alternation round (the q30 job-folding
+      // lesson): the count-based star check both decides convergence
+      // AND materializes its argument's pin (its flatMap consumes every
+      // partition), so no separate materialization action exists — the
+      // intermediate large-star pin is released only after the check
+      // has run (small-star reads it twice inside that single job)
+      var converged = isStarForest(curr, part) // also materializes raw
+      while (!converged) {
         rounds += 1
         require(rounds <= MaxRounds,
           s"connectedComponents: no convergence after $MaxRounds alternation rounds")
         val ls = largeStar(curr, part).persist(StorageLevel.MEMORY_AND_DISK)
         val next = smallStar(ls, part).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
+        converged = isStarForest(next, part)
         ls.unpersist(false)
         val prev = curr
         curr = next
@@ -183,10 +189,14 @@ object Clusters {
   /** Distributed star-forest check (the loop postcondition): no node is
     * both a leaf (hi side) and a center (lo side), and every leaf has
     * exactly one center. One bounded shuffle over the current edges.
+    * count(), not isEmpty(): one job over all partitions (take(1)'s
+    * incremental scan costs extra scheduler round-trips on the no-bad
+    * converged case, which is every loop's last check) — and a full
+    * scan is what lets the check double as the pin materialization.
     */
   private def isStarForest(e: RDD[(Long, Long)], part: HashPartitioner): Boolean =
     e.flatMap { case (l, c) => Iterator((l, (1, 1)), (c, (0, 2))) }
       .reduceByKey(part, (a: (Int, Int), b: (Int, Int)) => (a._1 + b._1, a._2 | b._2))
       .filter { case (_, (outDeg, roles)) => roles == 3 || outDeg > 1 }
-      .isEmpty()
+      .count() == 0L
 }
