@@ -77,7 +77,11 @@ object SparkEntry {
     // pair graph (alternating large-star/small-star) + keep-one canonical
     // selection — the pairs -> clusters -> dedup'd-corpus stage.
     "q39_neardup_clusters" ->
-      ((s: SparkSession, d: String) => Clusters.q39NearDupClusters(s, d))
+      ((s: SparkSession, d: String) => Clusters.q39NearDupClusters(s, d)),
+    // Quality-aware canonical selection over the q39 clusters: keep the
+    // longest member (doc_id tiebreak), the keep-the-best-variant rule.
+    "q40_canonical_keep" ->
+      ((s: SparkSession, d: String) => Clusters.q40CanonicalKeep(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -488,6 +492,22 @@ object SparkEntry {
         |SELECT d.doc_id,
         | coalesce(l.cluster_id, d.doc_id) AS cluster_id,
         | d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
-        |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id""".stripMargin,
+    // Canonical-keep oracle over the DUMPED q39 labels (themselves
+    // recursion-gated above): per-cluster rank by q15's word-count
+    // definition, doc_id tiebreak; NULLS LAST pinned explicitly (Spark's
+    // desc default) rather than trusting either engine's default.
+    "q40_canonical_keep" ->
+      """WITH lbl AS (
+        | SELECT doc_id, cluster_id
+        | FROM read_parquet('__OUT_DIR__/q39_neardup_clusters/*.parquet')),
+        |wc AS (SELECT doc_id, len(string_split(text, ' ')) AS word_count
+        |       FROM documents),
+        |j AS (
+        | SELECT l.doc_id, l.cluster_id, w.word_count,
+        |  row_number() OVER (PARTITION BY l.cluster_id
+        |    ORDER BY w.word_count DESC NULLS LAST, l.doc_id) AS rk
+        | FROM lbl l JOIN wc w ON w.doc_id = l.doc_id)
+        |SELECT doc_id, cluster_id, word_count, rk = 1 AS keep FROM j""".stripMargin
   )
 }

@@ -58,6 +58,31 @@ object Clusters {
         (col("doc_id") === coalesce(col("cid"), col("doc_id"))).as("keep"))
   }
 
+  /** Quality-aware canonical selection over the q39 clusters: real
+    * pipelines keep the BEST member of a near-dup cluster (the longest
+    * variant of a boilerplate-templated page), not the smallest id.
+    * keep = the cluster member with the highest word count (q15's
+    * word-count definition), doc_id ascending as the tiebreak. One
+    * row_number window keyed by cluster_id — a single shuffle whose
+    * per-task sort is partition-wide (spill-safe), with the per-group
+    * cost bounded by the largest cluster (dup-rate-, not corpus-,
+    * bounded). A null-text singleton keeps itself (rank 1 of 1).
+    */
+  def q40CanonicalKeep(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+    val labels = q39NearDupClusters(spark, sfDir, threshold).drop("keep")
+    val wc = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("word_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("word_count").desc_nulls_last, col("doc_id").asc)
+    labels.join(wc, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("word_count"),
+        (col("rk") === 1).as("keep"))
+  }
+
   /** Last q39 star-forest pin — released by the NEXT call's swap (the
     * lazy result plan reads it after this call returns) or eagerly via
     * [[releaseQ39Cache]]. Same per-call-owned plain-RDD discipline as

@@ -144,6 +144,34 @@ class ClustersSpec extends AnyFunSuite {
       s"planted copies must share their source's cluster")
   }
 
+  test("q40 keeps the longest member per cluster, doc_id tiebreak, q15 word-count semantics") {
+    val sf = "/root/testdata/sf0.001"
+    // driver recompute: q15's word count is split-on-single-space with
+    // empties KEPT (java split limit -1, matching Spark SQL's split)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val wcOf = docs.map { case (id, t) =>
+      id -> t.map(_.split(" ", -1).length.toLong)
+    }.toMap
+    val pairs = TextOps.q17MinHashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val labels = unionFind(pairs)
+    val byCluster = docs.map(_._1).groupBy(id => labels.getOrElse(id, id))
+    val winners = byCluster.map { case (cid, ids) =>
+      cid -> ids.minBy(id => (wcOf(id).map(-_).getOrElse(Long.MaxValue), id))
+    }
+    val want: Set[(Long, Long, Option[Long], Boolean)] = docs.map { case (id, _) =>
+      val cid = labels.getOrElse(id, id)
+      (id, cid, wcOf(id), winners(cid) == id)
+    }.toSet
+    assert(byCluster.exists(_._2.length > 1), "fixture needs a multi-doc cluster (vacuous otherwise)")
+    val got = Clusters.q40CanonicalKeep(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3))).toSet
+    assert(got == want,
+      s"q40 diverged: extra=${(got diff want).take(5)} missing=${(want diff got).take(5)}")
+  }
+
   test("per-call pin discipline: one live handoff pin, settles to zero on release") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
