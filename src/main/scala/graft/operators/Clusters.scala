@@ -124,12 +124,23 @@ object Clusters {
     * the components of the INPUT graph; ClustersSpec gates this against
     * a driver union-find on seeded hostile shapes.
     */
+  /** Target edge count per round-shuffle partition: the alternation's
+    * per-round shuffles are sized from the LIVE edge count, not the
+    * session's shuffle-partition constant (guide §2 scale-adaptive
+    * partitioning). A task comfortably handles 64k (Long, Long) edges;
+    * a 25-edge sf0.1 pair graph previously paid ~15 fixed-32-task
+    * shuffle stages of pure scheduler overhead per call (measured
+    * ~1.3 s of q39's 2.6 s), while at real dup rates the ratio drives
+    * the count straight back to the session constant.
+    */
+  private[graft] final val EdgesPerRoundPartition = 1L << 16
+
   def connectedComponents(spark: SparkSession, edgesDf: DataFrame): DataFrame = {
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val part = new HashPartitioner(nParts)
 
     // canonical directed form (hi → lo); both star operators re-emit in
-    // this form, so orientation is an invariant of the loop
+    // this form, so orientation is an invariant of the loop. The distinct
+    // runs at the session's full width — it is the corpus-sized pass.
     val raw = edgesDf
       .select(col("u").cast("long"), col("v").cast("long"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -139,30 +150,51 @@ object Clusters {
 
     var curr = raw.persist(StorageLevel.MEMORY_AND_DISK)
     var rounds = 0
+    // per-round handles tracked outside the loop so the catch can release
+    // a mid-round pin (ADVICE r9: a throw between the ls persist and the
+    // next-swap stranded ls/next until ContextCleaner GC)
+    var ls: RDD[(Long, Long)] = null
+    var next: RDD[(Long, Long)] = null
+    var roundParts = nParts
     try {
-      // ONE driver job per alternation round (the q30 job-folding
-      // lesson): the count-based star check both decides convergence
-      // AND materializes its argument's pin (its flatMap consumes every
-      // partition), so no separate materialization action exists — the
-      // intermediate large-star pin is released only after the check
-      // has run (small-star reads it twice inside that single job)
-      var converged = isStarForest(curr, part) // also materializes raw
+      // the count materializes the pin AND sizes the round partitioner:
+      // edge count never grows across rounds, so one sizing read is an
+      // upper bound for every round's shuffle (the r10 trade: one extra
+      // driver job per call — a cheap pass over the pinned edges — buys
+      // every round stage a partition count proportional to the data)
+      val edgeCount = curr.count()
+      roundParts = math.min(nParts.toLong,
+        edgeCount / EdgesPerRoundPartition + 1L).toInt
+      val part = new HashPartitioner(roundParts)
+      var converged = isStarForest(curr, part)
       while (!converged) {
         rounds += 1
         require(rounds <= MaxRounds,
           s"connectedComponents: no convergence after $MaxRounds alternation rounds")
-        val ls = largeStar(curr, part).persist(StorageLevel.MEMORY_AND_DISK)
-        val next = smallStar(ls, part).persist(StorageLevel.MEMORY_AND_DISK)
+        ls = largeStar(curr, part).persist(StorageLevel.MEMORY_AND_DISK)
+        next = smallStar(ls, part).persist(StorageLevel.MEMORY_AND_DISK)
+        // ONE driver job per alternation round (the q30 job-folding
+        // lesson): the count-based star check both decides convergence
+        // AND materializes next's pin (its flatMap consumes every
+        // partition) — the intermediate large-star pin is released only
+        // after the check has run (small-star reads it twice inside that
+        // single job)
         converged = isStarForest(next, part)
         ls.unpersist(false)
+        ls = null
         val prev = curr
         curr = next
+        next = null
         prev.unpersist(false)
       }
       lastRounds.set(rounds)
     } catch {
       case t: Throwable =>
-        try curr.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+        Seq(curr, ls, next).foreach { r =>
+          if (r != null) {
+            try r.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
         throw t
     }
 
@@ -175,7 +207,9 @@ object Clusters {
     }
 
     val pinned = curr
-    val labels = pinned.union(pinned.map(_._2).distinct(nParts).map(c => (c, c)))
+    // the centers distinct is bounded by the (converged) edge count, so it
+    // rides the same edge-proportional partition count as the rounds
+    val labels = pinned.union(pinned.map(_._2).distinct(roundParts).map(c => (c, c)))
     import spark.implicits._
     labels.toDF("node", "label")
   }

@@ -300,7 +300,7 @@ object Relational {
 
   /** q32 with the escalation decision exposed (and injectable) — see
     * q32Percentiles. `ranged` is the UNPERSISTED range-partitioned
-    * value-counts plan when escalated (PlanSpec asserts its exchange
+    * unpivoted-rows plan when escalated (PlanSpec asserts its exchange
     * shape), None on the default path. Because nothing pins it,
     * re-executing `ranged` re-samples its range boundaries: the pid ↔
     * value-slice layout a test observes is a fresh instance, not the
@@ -464,62 +464,50 @@ object Relational {
         .toDF("g", "tag", "v", "cnt", "n", "cum")
       PercentileStages(finalAgg(bracketed), escalated = false, ranged = None)
     } else {
-      // Range-partitioned prefix sum: every partition holds a CONTIGUOUS
-      // (g, tag, v) slice (sampled boundaries), so cumulative ranks =
-      // per-partition local cumsum + a per-(partition, group) offset from
-      // the driver prefix of the ≤ nParts·|groups·measures| subtotals.
+      // Range-partitioned prefix sum over the RAW unpivoted rows: every
+      // partition holds a CONTIGUOUS (g, tag, v) slice (sampled
+      // boundaries), so cumulative ranks = per-partition local cumsum +
+      // a per-(partition, group) offset from the driver prefix of the
+      // ≤ nParts·|groups·measures| subtotals.
       //
-      // The value-counts are pinned for their three consumers (the totals
-      // broadcast, the range-boundary sampling job, and the range
-      // shuffle's map stage) as a PLAIN RDD behind a LogicalRDD barrier,
-      // NOT a Dataset cache. A Dataset cache is keyed by canonicalized
-      // plan, so two CONCURRENT q32 calls over the same input share one
-      // CacheManager entry, and the first finisher's release strands an
-      // unreachable rebuilt copy: the sibling's retained InMemoryTableScan
-      // lazily re-persists the buffers after clearCache, and with the
-      // entry gone no later unpersist can find them (caught by
-      // ConcurrentHandoffSpec). An RDD persist is per-call-owned — no
-      // cross-call plan dedup — and its unpersist is terminal: a
-      // post-release recompute runs storage-free instead of
-      // re-registering. MEMORY_AND_DISK spills rather than OOMs; at
-      // warehouse scale this pin is a checkpointed intermediate.
-      val vcRdd = vc.as[(String, String, Double, Long)].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val vcDs = spark.createDataset(vcRdd).toDF("g", "tag", "v", "cnt")
-      val totalsEsc = vcDs.groupBy(col("g"), col("tag")).agg(sum(col("cnt")).as("n"))
-      // same <=> rationale as `joined` above (null group preservation)
-      val ranged = vcDs.join(
-          broadcast(totalsEsc.withColumnRenamed("g", "tg").withColumnRenamed("tag", "ttag")),
-          col("g") <=> col("tg") && col("tag") === col("ttag"))
-        .drop("tg", "ttag")
+      // r10 lean-out: the round-9 shape first hash-aggregated the rows
+      // into per-(g, tag, v) value-counts (one extra exchange + agg), a
+      // MEMORY_AND_DISK RDD pin to serve that agg to three consumers,
+      // and a broadcast join attaching the per-(g, tag) total n to every
+      // row. All three are gone: the range shuffle carries the raw rows
+      // (cnt = 1 each — the bracketing arithmetic is unchanged, a run of
+      // equal values is just uncompressed), and the subtotal collect
+      // already yields BOTH the prefix offsets and the per-(g, tag)
+      // totals, so n rides the same broadcast as the offsets. Measured
+      // at sf0.1 (2.4M stacked rows, local[32]): 2.6–4.5 s → ~1.6 s, and
+      // the first-run (JIT-cold) gap shrinks with the stage count. The
+      // shuffle grows from |distinct values| to |rows| rows — narrow
+      // (two dict-encoded strings + a double) and at crawl scale the agg
+      // saved nothing unless values repeat heavily, while its exchange
+      // was a full extra pass over the same bytes.
+      val ranged = unp
         .repartitionByRange(nParts, col("g"), col("tag"), col("v"))
         .sortWithinPartitions(col("g"), col("tag"), col("v"))
-        .select(col("g"), col("tag"), col("v"), col("cnt"), col("n"))
-        .as[(String, String, Double, Long, Long)]
+        .as[(String, String, Double)]
       // `ranged` is deliberately NOT persisted: the subtotal and
       // bracketing passes share ONE RDD instance (rrdd below), so the
       // range boundaries are sampled once and the shuffle files are
       // reused across both — the pid ↔ value-slice mapping is pinned by
       // the shared ShuffleDependency, not by a cache. The second pass
-      // pays a shuffle read plus an in-partition re-sort of the
-      // value-counts; in exchange the operator keeps ZERO cross-call
-      // state (the retired cross-call cache registry here was the other
-      // half of the rebuild-strand class above).
+      // pays a shuffle read plus an in-partition re-sort; in exchange
+      // the operator keeps ZERO cross-call state and no storage pin at
+      // all (the round-9 vc pin's rebuild-strand class is structurally
+      // gone with the pin itself).
       val rrdd = ranged.rdd // one RDD instance: both passes share pids
       val partials: Array[((Int, String, String), Long)] = rrdd
         .mapPartitionsWithIndex { (pid, it) =>
           val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
-          it.foreach { case (g, tag, _, cnt, _) =>
-            m.updateWith((g, tag))(s => Some(s.getOrElse(0L) + cnt))
+          it.foreach { case (g, tag, _) =>
+            m.updateWith((g, tag))(s => Some(s.getOrElse(0L) + 1L))
           }
           m.iterator.map { case ((g, tag), s) => ((pid, g, tag), s) }
         }
         .collect() // ≤ nParts · |groups·measures| rows — driver-bounded
-      // The value-counts have served all three consumers inside the
-      // collect above; the result plan re-reads only ranged's shuffle
-      // files. Terminal release — a recompute after an executor-loss
-      // shuffle-file eviction re-runs the value-counts agg storage-free.
-      try vcRdd.unpersist(false) catch { case scala.util.control.NonFatal(_) => () }
       val offsets: Map[(Int, String, String), Long] = partials
         .groupBy { case ((_, g, tag), _) => (g, tag) }
         .flatMap { case ((g, tag), arr) =>
@@ -530,10 +518,25 @@ object Relational {
             ((pid, g, tag), off)
           }
         }
-      val bcOff = spark.sparkContext.broadcast(offsets)
+      // per-(g, tag) total n — the quantity the round-9 broadcast join
+      // attached row-by-row — is the grand sum of the same subtotals
+      val totalsByGroup: Map[(String, String), Long] = partials
+        .groupBy { case ((_, g, tag), _) => (g, tag) }
+        .map { case (k, arr) => k -> arr.map(_._2).sum }
+      val bcOff = spark.sparkContext.broadcast((offsets, totalsByGroup))
       val bracketed = spark.createDataset(
         rrdd.mapPartitionsWithIndex { (pid, it) =>
-          bracketPass((g, tag) => bcOff.value.getOrElse((pid, g, tag), 0L))(it)
+          val (offs, tots) = bcOff.value
+          // adapt raw rows to bracketPass's (g, tag, v, cnt, n) shape:
+          // cnt = 1, n memoized per group run (rows arrive group-sorted)
+          var cg: String = null
+          var ct: String = null
+          var n = 0L
+          val withCnt = it.map { case (g, tag, v) =>
+            if (g != cg || tag != ct) { cg = g; ct = tag; n = tots((g, tag)) }
+            (g, tag, v, 1L, n)
+          }
+          bracketPass((g, tag) => offs.getOrElse((pid, g, tag), 0L))(withCnt)
         })
         .toDF("g", "tag", "v", "cnt", "n", "cum")
       PercentileStages(finalAgg(bracketed), escalated = true, ranged = Some(ranged.toDF()))
