@@ -285,18 +285,19 @@ object Relational {
 
   /** Source-byte threshold above which q32 switches to the range-
     * partitioned prefix sum; tests force either path by overriding.
-    * Calibrated by interleaved A/B on local[32]: at sf0.01 (1 MB source,
-    * ~40k distinct values/group) the default one-plan shape wins
-    * (0.9–1.3 s vs a flat ~1.2 s — the sample + subtotal jobs are pure
-    * overhead); at sf0.1 (10.8 MB, ~200k distinct/group) the prefix sum
-    * already wins (1.35–1.56 s vs 1.60–1.80 s — the 6-task per-group
-    * sort is the bottleneck even here, and the gap only widens with
-    * distinct count). 4 MiB splits the measured crossover; the mistake
-    * cost near the boundary is ~0.2 s either way, while at crawl scale
-    * the escalated shape is the only one whose parallelism does not
-    * collapse to the group count.
+    * RE-CALIBRATED r10: the round-9 threshold (4 MiB) split a measured
+    * crossover that no longer exists — after the prefix-sum lean-out
+    * (raw-row range shuffle, totals folded into the offset broadcast,
+    * no value-counts pin) the escalated shape wins at EVERY measured
+    * scale (interleaved A/B, local[32], warm minima: sf0.001
+    * 0.49 vs 0.61 s, sf0.01 0.57 vs 0.67 s, sf0.1 1.46 vs 1.56 s — and
+    * at crawl scale it is the only shape whose parallelism does not
+    * collapse to the group count). −1 ⇒ production always escalates;
+    * the default one-plan shape is retained as the spec suite's
+    * independently-implemented cross-check (PercentileEdgeSpec forces
+    * both paths and asserts equality), not as a production tier.
     */
-  private[graft] final val Q32EscalateBytes: Long = 4L << 20
+  private[graft] final val Q32EscalateBytes: Long = -1L
 
   /** q32 with the escalation decision exposed (and injectable) — see
     * q32Percentiles. `ranged` is the UNPERSISTED range-partitioned

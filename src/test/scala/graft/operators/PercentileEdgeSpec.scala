@@ -50,12 +50,24 @@ class PercentileEdgeSpec extends AnyFunSuite {
     .toList
 
   test("q32 exact percentiles: single-row, two-row, and duplicate-value groups") {
+    // the default (single-reducer-per-group) shape, forced explicitly —
+    // since r10 production always takes the prefix-sum path, and this
+    // shape survives as the suite's independent cross-implementation
+    val dir = writeEdgeTable()
+    try {
+      val st = Relational.q32Stages(spark, dir, escalateBytes = Long.MaxValue)
+      assert(!st.escalated, "MaxValue threshold must keep the default path")
+      val got = run(st.result)
+      assert(got == want, s"got $got")
+    } finally graft.TinyInputs.delete(dir)
+  }
+
+  test("q32 production default takes the prefix-sum path at every size") {
     val dir = writeEdgeTable()
     try {
       val st = Relational.q32Stages(spark, dir)
-      assert(!st.escalated, "tiny table must stay on the default path")
-      val got = run(st.result)
-      assert(got == want, s"got $got")
+      assert(st.escalated, "r10: Q32EscalateBytes = -1 escalates unconditionally")
+      assert(run(st.result) == want)
     } finally graft.TinyInputs.delete(dir)
   }
 
@@ -76,7 +88,8 @@ class PercentileEdgeSpec extends AnyFunSuite {
   }
 
   test("q32 escalated path matches the default path on real sf0.001 data") {
-    val dflt = run(Relational.q32Stages(spark, "/root/testdata/sf0.001").result)
+    val dflt = run(Relational.q32Stages(
+      spark, "/root/testdata/sf0.001", escalateBytes = Long.MaxValue).result)
     val esc = run(
       Relational.q32Stages(spark, "/root/testdata/sf0.001", escalateBytes = -1L).result)
     assert(esc == dflt, s"escalated $esc vs default $dflt")

@@ -74,32 +74,44 @@ class PlanSpec extends AnyFunSuite {
   test("q32: percentiles plan has no whole-group-buffering aggregate") {
     // the value-counts + rank-interpolation rewrite must never reintroduce
     // Spark's Percentile TypedImperativeAggregate (ObjectHashAggregate /
-    // SortAggregate over a per-group value buffer — an OOM at 100 TB)
+    // SortAggregate over a per-group value buffer — an OOM at 100 TB).
+    // Since r10 the PRODUCTION plan is the range-partitioned prefix sum
+    // at every size: the bracketing pass runs eagerly on the shared
+    // range-shuffle RDD, so the result plan reads an ExistingRDD of
+    // bracketing rows (≤ 6 per group/measure) and scans parquet exactly
+    // once (the group-universe branch).
     val df = Relational.q32Percentiles(spark, sf)
-    df.collect() // finalize the adaptive plan: exchange reuse is an AQE decision
+    df.collect() // finalize the adaptive plan
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("percentile"), p)
     assert(!p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("HashAggregate"), p) // the distinct-value count agg
-    // round-6: cumulative ranks come from the streaming bracketing pass
-    // (O(1) state per group), NOT WindowExec — whose row array buffers each
+    assert(p.contains("HashAggregate"), p) // the interpolation aggregate
+    // cumulative ranks come from the streaming bracketing pass (O(1)
+    // state per group), NOT WindowExec — whose row array buffers each
     // partition's full distinct-value set (the spill this spec guards out)
     assert(!p.contains("Window"), "no whole-partition-buffering window\n" + p)
-    assert(p.contains("MapPartitions"), "streaming bracketing pass\n" + p)
-    // round-4 fusion: both measure columns share ONE unpivoted pass. The
-    // round-6 totals branch (6-row aggregate broadcast-joined back) hangs a
-    // SECOND consumer off the value-counts exchange, so the scale property
-    // is now "lineitem is PHYSICALLY scanned once": in the finalized
-    // adaptive plan the totals branch must read a ReusedQueryStage /
-    // ReusedExchange of vc's shuffle, never its own parquet scan.
-    // (a ReusedQueryStage's printout may re-render the referenced subtree,
-    // so count reuse nodes rather than demanding a single scan string)
-    val scans = "Scan parquet".r.findAllIn(p).size
-    val reused = ("ReusedQueryStage".r.findAllIn(p).size
-      + "ReusedExchange".r.findAllIn(p).size)
+    assert(p.contains("Scan ExistingRDD") || p.contains("Scan[obj#"),
+      "result must read the eager bracketing rows\n" + p)
+    // count in the FINAL adaptive section only (the string renders the
+    // initial plan too, which would double-count the universe's scan)
+    assert("Scan parquet".r.findAllIn(p.split("== Initial Plan ==")(0)).size == 1,
+      "only the group-universe branch may rescan lineitem\n" + p)
+
+    // the retained DEFAULT shape (the spec suite's cross-implementation)
+    // keeps its round-6 properties: in-plan streaming bracketing pass and
+    // a totals branch that reuses the value-counts exchange
+    val dfD = Relational.q32Stages(spark, sf, escalateBytes = Long.MaxValue).result
+    dfD.collect()
+    val pD = dfD.queryExecution.executedPlan.toString
+    assert(!pD.contains("percentile") && !pD.contains("ObjectHashAggregate"), pD)
+    assert(!pD.contains("Window"), pD)
+    assert(pD.contains("MapPartitions"), "streaming bracketing pass\n" + pD)
+    val scans = "Scan parquet".r.findAllIn(pD).size
+    val reused = ("ReusedQueryStage".r.findAllIn(pD).size
+      + "ReusedExchange".r.findAllIn(pD).size)
     assert(scans == 1 || reused >= 1,
       s"totals branch must reuse vc's exchange, not rescan lineitem " +
-        s"(scans=$scans reused=$reused)\n" + p)
+        s"(scans=$scans reused=$reused)\n" + pD)
   }
 
   test("q32 escalated: cumulative ranks ride a range exchange, not a per-group sort") {
