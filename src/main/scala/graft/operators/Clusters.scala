@@ -219,6 +219,15 @@ object Clusters {
     * undirected edge (from its smaller endpoint's group), always
     * (bigger, smaller) — hub groups shrink because the hub's leaves
     * leave for the hub's min.
+    *
+    * Memory bound (here and in [[smallStar]]): the `partitionBy(part)
+    * .join(mins)` cogroup buffers ONE key's full adjacency in one task —
+    * probed exact to a 4M-edge hub key (ScaleProbe, 20M-edge graph), and
+    * large-star shrinks hubs across rounds, but a ~10⁸-edge boilerplate
+    * hub on a real crawl would test task memory before the algorithm.
+    * Known mitigation if a probe ever shows it binding: broadcast the
+    * per-node minima above a degree cutoff (they are tiny) and re-point
+    * hub leaves map-side, or salt the hub key for the min computation.
     */
   private def largeStar(e: RDD[(Long, Long)], part: HashPartitioner): RDD[(Long, Long)] = {
     val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }

@@ -392,16 +392,19 @@ object Similarity {
       k: Int,
       rounds: Int = 2,
       wCells: Int = 4,
-      seed: Long = 0x9e3779b97f4a7c15L): Array[Array[Double]] = {
+      seed: Long = 0x9e3779b97f4a7c15L,
+      seed0: Option[(Long, Array[Double])] = None): Array[Array[Double]] = {
     import spark.implicits._
     def uniform(id: Long, r: Int): Double =
       ((graft.operators.TextOps.mix(id ^ (seed + r * 0x632be59bd9b4e019L)) >>> 11).toDouble
         / (1L << 53).toDouble)
 
     // round 0: the lowest-vec_id vector (deterministic single center) —
-    // one takeOrdered job
+    // one takeOrdered job, UNLESS the caller already holds it (q30 folds
+    // it into its sizing pass — same (min vec_id, vector) value)
     val cands = new scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
-    cands ++= emb.rdd.takeOrdered(1)(Ordering.by(_._1))
+    cands ++= seed0.map(Seq(_)).getOrElse(
+      emb.rdd.takeOrdered(1)(Ordering.by(_._1)).toSeq)
     val seen = new java.util.HashSet[java.lang.Long]()
     cands.foreach(c => seen.add(c._1))
 
@@ -640,23 +643,47 @@ object Similarity {
       .toDF("vec_id", "v")
     // k and nProbe via ivfSizing: ⌈√n⌉ rule of thumb, hard-capped so the
     // codebook broadcast stays inside its ~2 GB envelope regardless of n,
-    // with nProbe raised when the cap binds. The count reads the RAW scan
-    // (parquet metadata), not the normalize map; it is skipped entirely
-    // when the caller pins k.
-    val nRows =
-      if (kCentroids0 > 0) 0L
-      else Tables.embeddings(spark, sfDir)
-        .where(col("embedding").isNotNull).count()
+    // with nProbe raised when the cap binds. ONE sizing pass (r10 fold)
+    // computes the row count AND the k-means|| round-0 seed — the lowest
+    // vec_id's normalized vector, exactly what kmeansParInit's own
+    // takeOrdered(1) would fetch — so the separate count and takeOrdered
+    // jobs collapse into one; it is skipped entirely when the caller
+    // pins k. q30 is the registry's longest driver-job chain and each
+    // fold is one fewer scheduler round-trip per call (see BenchDecompose
+    // `jobgap`).
+    val sized: Option[(Long, Option[(Long, Array[Double])])] =
+      if (kCentroids0 > 0) None
+      else Some {
+        val parts = emb.as[(Long, Array[Double])].rdd
+          .mapPartitions { it =>
+            var c = 0L
+            var minId = Long.MaxValue
+            var minV: Array[Double] = null
+            it.foreach { case (id, v) =>
+              c += 1
+              if (id < minId || minV == null) { minId = id; minV = v }
+            }
+            if (c == 0L) Iterator.single((0L, None))
+            else Iterator.single((c, Some((minId, minV)): Option[(Long, Array[Double])]))
+          }
+          .collect() // ≤ one small tuple per partition
+        parts.foldLeft((0L, None: Option[(Long, Array[Double])])) {
+          case ((c0, s0), (c1, s1)) =>
+            val s = (s0, s1) match {
+              case (Some(a), Some(b)) => if (a._1 <= b._1) s0 else s1
+              case (None, b) => b
+              case (a, None) => a
+            }
+            (c0 + c1, s)
+        }
+      }
+    val nRows = sized.map(_._1).getOrElse(0L)
     // Empty index → empty ANN result. Not a corner case at scale: a
     // partition-pruned or freshly-created embeddings table is 0 rows,
     // and k-means|| over zero rows has no seed to sample (it crashed
-    // here before this guard — EmptyInputSpec). `emb` is a 1:1 map of
-    // the raw scan, so when the sizing count ran it already answers
-    // emptiness and the take(1) job is folded away; the job only runs
-    // on the pinned-k path, where the count was skipped. q30 is the
-    // registry's longest driver-job chain (~20 jobs/call) and each
-    // fold is one fewer scheduler round-trip per call (see
-    // BenchDecompose `jobgap`).
+    // here before this guard — EmptyInputSpec). The sizing pass answers
+    // emptiness when it ran; the isEmpty job only runs on the pinned-k
+    // path, where sizing was skipped.
     if (if (kCentroids0 > 0) emb.isEmpty else nRows == 0L)
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("query_id", "rnk", "vec_id", "cos")
@@ -679,7 +706,7 @@ object Similarity {
     // sampling rounds; the only driver materialization is the candidate
     // set, the same O(k·d) as the codebook itself
     val init = kmeansParInit(spark, emb.as[(Long, Array[Double])], kCentroids,
-      rounds = initRounds, wCells = wAssign)
+      rounds = initRounds, wCells = wAssign, seed0 = sized.flatMap(_._2))
 
     // Lloyd refinement, distributed, `lloydSteps` times (VERDICT r4 #4):
     // two-level assign, then per-cid mean via typed reduceGroups —

@@ -178,30 +178,30 @@ class BlockEvictionSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .sortBy(_._1).toList
 
-  test("q32 escalated path stays exact while its value-counts pin is evicted mid-build") {
+  test("q32 escalated path stays exact under chaos and holds zero storage pins") {
+    // r10: the escalated path's value-counts pin is GONE by construction
+    // (raw-row range shuffle; totals ride the offset broadcast), so the
+    // old evict-the-pin race has nothing to catch. What remains worth
+    // gating: the build+result sequence stays exact while the chaos
+    // thread runs (it can still evict unrelated blocks / stress the
+    // block manager), and the path registers NO persisted RDD at any
+    // point — the strand class this spec exists for is now structurally
+    // impossible rather than correctly-released.
     val dir = writeLineitem()
     try {
       val expected = q32Rows(Relational.q32Stages(spark, dir, escalateBytes = Long.MaxValue).result)
-      var sawEviction = false
       (0 until 6).foreach { round =>
         val before = persistedIds()
         val chaos = new Chaos(before, terminal = round % 2 == 0)
         try {
-          // the pin lives INSIDE q32Stages (eager sample + subtotal jobs,
-          // terminal release before return) — chaos races the build, then
-          // the result action replays/recomputes the ranged shuffle
           val st = Relational.q32Stages(spark, dir, escalateBytes = -1L)
           assert(st.escalated)
           assert(q32Rows(st.result) == expected,
             s"q32 escalated diverged under chaos (round $round)")
-        } finally {
-          sawEviction ||= chaos.evictions > 0
-          chaos.shutdown()
-        }
+        } finally chaos.shutdown()
         val leaked = newIdsSettled(before)
-        assert(leaked.isEmpty, s"stranded q32 pins after chaos round $round: $leaked")
+        assert(leaked.isEmpty, s"q32 escalated registered a pin (round $round): $leaked")
       }
-      assert(sawEviction, "chaos thread never caught a live q32 pin")
     } finally graft.TinyInputs.delete(dir)
   }
 
