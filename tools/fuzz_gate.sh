@@ -13,6 +13,7 @@ SEED="${1:?seed}"
 WORK="${2:-/tmp/graft_fuzz_gate}"
 SF_DIR="$WORK/tables_$SEED"
 OUT_DIR="$WORK/out_$SEED"
+mkdir -p "$WORK"
 rm -rf "$SF_DIR" "$OUT_DIR"
 cd "$(dirname "$0")/.."
 sbt -batch "Test/runMain graft.fuzz.FuzzGen $SEED $SF_DIR" >"$WORK/gen_$SEED.log" 2>&1
