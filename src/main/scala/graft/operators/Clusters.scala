@@ -67,17 +67,34 @@ object Clusters {
     * per-task sort is partition-wide (spill-safe), with the per-group
     * cost bounded by the largest cluster (dup-rate-, not corpus-,
     * bounded). A null-text singleton keeps itself (rank 1 of 1).
+    *
+    * The word count rides the SAME documents scan + left label join
+    * that assigns cluster ids (the q39 label-attach shape with one
+    * extra projected column) rather than a second documents scan
+    * joined back on doc_id: doc_id is the table key, so attaching wc
+    * via a second inner self-join is row-for-row the one-pass
+    * projection — one full corpus scan and one corpus-sized join
+    * where there were two of each.
     */
   def q40CanonicalKeep(
       spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
-    val labels = q39NearDupClusters(spark, sfDir, threshold).drop("keep")
-    val wc = Tables.documents(spark, sfDir).select(
-      col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("word_count"))
+    val pairs = TextOps.q17MinHashPairs(spark, sfDir, threshold)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labels = connectedComponents(spark, pairs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("word_count").desc_nulls_last, col("doc_id").asc)
-    labels.join(wc, Seq("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("word_count"))
+      .join(
+        labels.select(col("node").as("doc_id"), col("label").as("cid")),
+        Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        col("word_count"))
       .withColumn("rk", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("word_count"),
         (col("rk") === 1).as("keep"))
