@@ -118,7 +118,16 @@ object Relational {
       )
       .orderBy(col("l_returnflag"))
 
-  /** Left-semi and left-anti joins (EXISTS / NOT EXISTS). */
+  /** Left-semi and left-anti joins (EXISTS / NOT EXISTS).
+    *
+    * A one-pass variant (single left join against the distinct order
+    * keys, both counts from one aggregate row — the q09 fold shape) was
+    * built and measured in r10: consistently SLOWER here (warm 0.55-0.58
+    * → 0.60-0.65 s interleaved) — the added distinct exchange over
+    * orders costs more than the second broadcast-semi scan it removes,
+    * at every measured size the bench runs. Reverted; the two-branch
+    * shape stands.
+    */
   def q08SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
@@ -129,17 +138,34 @@ object Relational {
     withOrders.unionByName(withoutOrders).select(col("kind"), col("n"))
   }
 
-  /** Relational set operations. */
+  /** Relational set operations — all three counts from ONE null-safe
+    * full-outer join of the two DISTINCT key sets. INTERSECT / EXCEPT /
+    * UNION are distinct-set operations with null-safe equality in both
+    * engines (NULL keys compare equal), which is exactly `<=>` over the
+    * per-side distincts: in-both ⇔ intersect member, p-only ⇔ except
+    * member, every join row ⇔ one distinct union member. The
+    * three-branch shape scanned lineitem and part three times each and
+    * ran three distinct-shuffles; this is one scan + one distinct
+    * exchange per side (whose hash partitioning the join then reuses),
+    * and the three output rows are unpivoted from the single aggregate
+    * row. Distinct sides make the join 1:1, so no multiplicity is
+    * introduced.
+    */
   def q09SetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val liKeys = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("k"))
-    val pKeys = Tables.part(spark, sfDir).select(col("p_partkey").as("k"))
-    val inBoth = liKeys.intersect(pKeys).agg(count(lit(1)).as("n"))
-      .withColumn("op", lit("intersect"))
-    val onlyParts = pKeys.except(liKeys).agg(count(lit(1)).as("n"))
-      .withColumn("op", lit("except"))
-    val unioned = liKeys.union(pKeys).distinct().agg(count(lit(1)).as("n"))
-      .withColumn("op", lit("union_distinct"))
-    inBoth.unionByName(onlyParts).unionByName(unioned).select(col("op"), col("n"))
+    val liD = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("k"))
+      .distinct().withColumn("in_li", lit(1))
+    val pD = Tables.part(spark, sfDir).select(col("p_partkey").as("k"))
+      .distinct().withColumn("in_p", lit(1))
+    liD.join(pD, liD("k") <=> pD("k"), "full_outer")
+      .agg(
+        count(when(col("in_li").isNotNull && col("in_p").isNotNull, 1)).as("both_n"),
+        count(when(col("in_p").isNotNull && col("in_li").isNull, 1)).as("only_p_n"),
+        count(lit(1)).as("union_n"))
+      .select(explode(array(
+        struct(lit("intersect").as("op"), col("both_n").as("n")),
+        struct(lit("except").as("op"), col("only_p_n").as("n")),
+        struct(lit("union_distinct").as("op"), col("union_n").as("n")))).as("r"))
+      .select(col("r.op").as("op"), col("r.n").as("n"))
   }
 
   /** Sessionization over the event stream: lag + conditional cumulative sum,
